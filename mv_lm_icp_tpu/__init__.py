@@ -24,3 +24,14 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# On TPU, f32 matmuls/einsums default to a single bf16 MXU pass (~1e-2
+# relative error). Registration accuracy is this framework's product —
+# pose recovery to ~1e-6 — and the error creeps into every small matrix
+# product (3x3 SVD recomposition, so3 exp's W@W, Jacobian chain products),
+# so the correct default here is full-precision f32. Perf-critical kernels
+# that can tolerate bf16 (e.g. NN candidate shortlists) opt down explicitly
+# per-op; the Pallas kernels control their own precision regardless.
+_jax.config.update("jax_default_matmul_precision", "highest")

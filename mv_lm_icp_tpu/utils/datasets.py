@@ -1,0 +1,139 @@
+"""Dataset wrappers for the sample scenes: frame discovery, loading,
+padding to fixed device shapes, and the reference's pose-initialization
+semantics.
+
+Replicates ``loadFrames`` (reference: src/main_multiview.cpp:53-100):
+
+- discover ``cloud*``, ``pose*``, ``groundtruth*`` files (length-then-lex
+  ordered, common.h:149-155),
+- stride ``step`` with cap ``limit`` frames (main_multiview.cpp:63),
+- ``fake`` mode loads frame 0 repeatedly (main_multiview.cpp:66),
+- dinosaur-style (separate groundtruth files): pose = pose file,
+  gt = groundtruth file (main_multiview.cpp:74-76),
+- bunny-style (poses only): gt = pose file, pose = gt perturbed with
+  ``add_noise(sigma, sigmat)`` except frame 0 which stays exact
+  (main_multiview.cpp:78-85).
+
+Clouds are ragged on disk; on device they live padded to a common point
+count (rounded up to ``pad_multiple``) with a validity mask — the
+fixed-shape SoA layout every kernel in this framework assumes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+from . import io
+
+BUNNY_DIR = "/root/reference/samples/Bunny_RealData"
+DINOSAUR_DIR = "/root/reference/samples/dinosaur"
+SCENE_XYZ = "/root/reference/samples/scene.xyz"
+
+
+@dataclasses.dataclass
+class RawFrames:
+    """Host-side (numpy, ragged) frame data before device padding."""
+
+    points: List[np.ndarray]          # each (Ni, 3) f64
+    normals: List[np.ndarray]         # each (Ni, 3) f64
+    poses: np.ndarray                 # (F, 7) se3 params (initial estimates)
+    gt_poses: np.ndarray              # (F, 7) se3 params (ground truth)
+
+
+def _mat_to_se3(mat: np.ndarray) -> np.ndarray:
+    return np.asarray(
+        se3.from_matrix(jnp.asarray(mat, dtype=jnp.float64)))
+
+
+def load_raw_frames(dir_path: str, *, limit: int = 40, step: int = 2,
+                    fake: bool = False, sigma: float = 0.02,
+                    sigmat: float = 0.01, seed: int = 0) -> RawFrames:
+    """Load a frame directory with the reference's initialization semantics."""
+    clouds = io.discover(dir_path, "cloud")
+    poses_f = io.discover(dir_path, "pose")
+    gt_f = io.discover(dir_path, "groundtruth")
+    if not clouds:
+        raise FileNotFoundError(f"no cloud* files in {dir_path}")
+
+    pts_list, nor_list, poses, gts = [], [], [], []
+    key = jax.random.PRNGKey(seed)
+    have_gt = len(gt_f) == len(clouds)
+    count = 0
+    for i in range(0, len(clouds), step):
+        if count >= limit:
+            break
+        j = 0 if fake else i
+        p, n = io.load_xyz(clouds[j])
+        pts_list.append(p)
+        nor_list.append(n)
+        if have_gt:
+            poses.append(_mat_to_se3(io.load_matrix4d(poses_f[i])))
+            gts.append(_mat_to_se3(io.load_matrix4d(gt_f[i])))
+        else:
+            gt = _mat_to_se3(io.load_matrix4d(poses_f[i]))
+            gts.append(gt)
+            if i == 0:
+                poses.append(gt)
+            else:
+                key, sub = jax.random.split(key)
+                poses.append(np.asarray(se3.add_noise(
+                    sub, jnp.asarray(gt), sigma, sigmat)))
+        count += 1
+    return RawFrames(pts_list, nor_list,
+                     np.stack(poses), np.stack(gts))
+
+
+def pad_clouds(points: List[np.ndarray], normals: List[np.ndarray],
+               pad_multiple: int = 256, pad_value: float = 1e6,
+               n_points: Optional[int] = None):
+    """Pad ragged clouds to a fixed (F, N, 3) + validity mask (F, N).
+
+    Padding coordinates are pushed far away (``pad_value``) so that even an
+    unmasked NN query cannot select them; the mask is still the source of
+    truth for every reduction.
+    """
+    F = len(points)
+    nmax = max(p.shape[0] for p in points)
+    if n_points is not None:
+        nmax = max(nmax, n_points)
+    N = -(-nmax // pad_multiple) * pad_multiple
+    pts = np.full((F, N, 3), pad_value, dtype=np.float64)
+    nor = np.zeros((F, N, 3), dtype=np.float64)
+    nor[..., 2] = -1.0
+    mask = np.zeros((F, N), dtype=bool)
+    for f, (p, n) in enumerate(zip(points, normals)):
+        k = p.shape[0]
+        pts[f, :k] = p
+        nor[f, :k] = n
+        mask[f, :k] = True
+    return pts, nor, mask
+
+
+def load_single_cloud(path: str = None):
+    """Load one cloud (default: Bunny frame 0) -> (points, normals) numpy.
+
+    The pairwise benchmark fixture (main_pairwise.cpp:34).
+    """
+    path = path or f"{BUNNY_DIR}/cloudXYZ_0.xyz"
+    return io.load_xyz(path)
+
+
+def synthetic_pairwise_pose(dtype=jnp.float64) -> jnp.ndarray:
+    """The exact synthetic GT pose of main_pairwise.cpp:44-54.
+
+    q = AngleAxis(pi/4, X) * AngleAxis(1, Y) * AngleAxis(-0.2, Z),
+    t = (0.01, -0.01, -0.005).
+    """
+    from ..ops import quat
+
+    qx = quat.from_axis_angle(jnp.asarray([np.pi / 4, 0, 0], dtype))
+    qy = quat.from_axis_angle(jnp.asarray([0.0, 1.0, 0.0], dtype))
+    qz = quat.from_axis_angle(jnp.asarray([0.0, 0.0, -0.2], dtype))
+    q = quat.multiply(quat.multiply(qx, qy), qz)
+    t = jnp.asarray([0.01, -0.01, -0.005], dtype)
+    return jnp.concatenate([q, t])
