@@ -1,0 +1,246 @@
+"""On-device Levenberg-Marquardt: trust-region loop in ``lax.while_loop``.
+
+TPU-native replacement for the Ceres solver core used throughout the
+reference (reference: src/internal/icp-ceres.cpp:45-95 ``getOptions`` /
+``solve``): Levenberg-Marquardt with a trust-region radius, Jacobi
+diagonal damping, step-quality accept/reject, and Ceres' default
+convergence criteria (function/gradient/parameter tolerances, <= 50
+iterations). Where Ceres assembles a sparse problem from residual-block
+objects and factorizes with DENSE_QR / SPARSE_NORMAL_CHOLESKY, here the
+caller supplies one fused ``build_system`` function returning
+(cost, gradient, Gauss-Newton Hessian) over a fixed tangent space — dense
+6-dim for pairwise, dense 6F-dim (gauge-fixed) for multiview — and the
+damped system is solved with a Cholesky factorization on device.
+
+The whole solve — residual evaluation, normal equations, damping, step
+control — is a single jitted while_loop: no host round-trips per
+iteration, which is where the >=10x-vs-CPU-Ceres throughput target
+(BASELINE.json) comes from.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import residuals as res_mod
+from ..ops import robust as robust_mod
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Mirrors the Ceres Solver::Options defaults the reference relies on
+    (max_num_iterations set explicitly to 50, icp-ceres.cpp:51,81)."""
+
+    max_iterations: int = 50
+    function_tolerance: float = 1e-6        # Ceres default
+    gradient_tolerance: float = 1e-10       # Ceres default
+    parameter_tolerance: float = 1e-8       # Ceres default
+    initial_radius: float = 1e4             # Ceres initial_trust_region_radius
+    max_radius: float = 1e16
+    min_diagonal: float = 1e-6              # Ceres lm_min_diagonal
+    max_diagonal: float = 1e32              # Ceres lm_max_diagonal
+    min_relative_decrease: float = 1e-3     # Ceres default
+
+
+class LMState(NamedTuple):
+    x: jnp.ndarray
+    radius: jnp.ndarray
+    decrease_factor: jnp.ndarray
+    cost: jnp.ndarray
+    grad: jnp.ndarray
+    hess: jnp.ndarray
+    iteration: jnp.ndarray
+    done: jnp.ndarray
+    converged: jnp.ndarray
+
+
+class LMStats(NamedTuple):
+    iterations: jnp.ndarray
+    final_cost: jnp.ndarray
+    grad_max: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def lm_solve(x0: jnp.ndarray,
+             build_system: Callable,
+             apply_delta: Callable,
+             config: LMConfig = LMConfig()):
+    """Minimize cost(x) given fused system assembly.
+
+    Args:
+      x0: initial parameters (any pytree-leaf array shape).
+      build_system: x -> (cost, g (T,), H (T,T)) — Gauss-Newton system in
+        the tangent space at x (robust weights folded in by the caller).
+      apply_delta: (x, delta (T,)) -> x' — the manifold boxplus.
+      config: tolerances/budgets.
+
+    Returns:
+      (x_final, LMStats). Fully jittable; runs as one lax.while_loop.
+    """
+    cost0, g0, H0 = build_system(x0)
+    dtype = cost0.dtype
+    state = LMState(
+        x=x0,
+        radius=jnp.asarray(config.initial_radius, dtype),
+        decrease_factor=jnp.asarray(2.0, dtype),
+        cost=cost0,
+        grad=g0,
+        hess=H0,
+        iteration=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(False),
+    )
+
+    def cond(s: LMState):
+        return jnp.logical_and(~s.done, s.iteration < config.max_iterations)
+
+    def body(s: LMState):
+        T = s.grad.shape[0]
+        diag = jnp.clip(jnp.diagonal(s.hess),
+                        config.min_diagonal, config.max_diagonal)
+        H_damped = s.hess + jnp.diag(diag / s.radius)
+        # solve via Cholesky; fall back to lstsq-ish behaviour through
+        # jitter is unnecessary because damping keeps H_damped SPD.
+        L = jnp.linalg.cholesky(H_damped)
+        delta = jax.scipy.linalg.cho_solve((L, True), -s.grad)
+        solve_failed = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(solve_failed, jnp.zeros_like(delta), delta)
+
+        # model decrease of 0.5|r|^2 under the GN model
+        predicted = -(s.grad @ delta + 0.5 * delta @ (s.hess @ delta))
+        x_new = apply_delta(s.x, delta)
+        cost_new, g_new, H_new = build_system(x_new)
+        rho = (s.cost - cost_new) / jnp.where(
+            predicted > 0, predicted, jnp.finfo(dtype).tiny)
+
+        accept = jnp.logical_and(
+            jnp.logical_and(rho > config.min_relative_decrease,
+                            jnp.isfinite(cost_new)),
+            ~solve_failed,
+        )
+
+        # Ceres trust-region update
+        shrink = jnp.clip(1.0 - (2.0 * rho - 1.0) ** 3, 1.0 / 3.0, None)
+        radius_acc = jnp.minimum(s.radius / shrink, config.max_radius)
+        radius_rej = s.radius / s.decrease_factor
+        radius = jnp.where(accept, radius_acc, radius_rej)
+        decrease_factor = jnp.where(accept, 2.0, 2.0 * s.decrease_factor)
+
+        # convergence tests (Ceres semantics, evaluated on accepted steps)
+        cost_change = s.cost - cost_new
+        f_conv = jnp.abs(cost_change) <= config.function_tolerance * s.cost
+        x_norm = jnp.linalg.norm(jnp.ravel(s.x).astype(dtype))
+        step_norm = jnp.linalg.norm(delta)
+        x_conv = step_norm <= config.parameter_tolerance * (
+            x_norm + config.parameter_tolerance)
+        g_conv = jnp.max(jnp.abs(jnp.where(accept, g_new, s.grad))) \
+            <= config.gradient_tolerance
+        converged = jnp.logical_or(
+            g_conv, jnp.logical_and(accept, jnp.logical_or(f_conv, x_conv)))
+        # a degenerate trust region also terminates
+        dead = radius < 1e-32
+        done = jnp.logical_or(converged, dead)
+
+        pick = lambda a, b: jnp.where(accept, a, b)
+        return LMState(
+            x=jax.tree_util.tree_map(pick, x_new, s.x),
+            radius=radius,
+            decrease_factor=decrease_factor,
+            cost=pick(cost_new, s.cost),
+            grad=pick(g_new, s.grad),
+            hess=pick(H_new, s.hess),
+            iteration=s.iteration + 1,
+            done=done,
+            converged=converged,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    stats = LMStats(
+        iterations=final.iteration,
+        final_cost=final.cost,
+        grad_max=jnp.max(jnp.abs(final.grad)),
+        converged=final.converged,
+    )
+    return final.x, stats
+
+
+# ---------------------------------------------------------------------------
+# Pairwise ICP solvers (Ceres pairwise equivalents, icp-ceres.cpp:137-218,
+# 525-565): given fixed correspondences src[i] <-> dst[i], recover the pose.
+# ---------------------------------------------------------------------------
+
+def _block_s(r: jnp.ndarray, metric: str) -> jnp.ndarray:
+    """Squared residual-block norm per correspondence (Ceres loss input)."""
+    if metric == "point_to_point":
+        return jnp.sum(r * r, axis=-1)
+    return r * r
+
+
+def make_pairwise_system(param, metric: str, src, dst, nor=None,
+                         weights=None, loss: str = "trivial",
+                         loss_scale=1.0, use_autodiff: bool = False):
+    """Returns build_system(x) for a pairwise problem.
+
+    ``weights`` is a validity/weight mask over correspondences (padded rows
+    -> 0). ``loss``/``loss_scale`` select the robust loss (Ceres semantics,
+    see ops/robust.py). ``use_autodiff`` switches Jacobians to the
+    forward-mode path (the reference's sophusSE3_autodiff flag).
+    """
+    loss_fn = robust_mod.LOSSES[loss]
+    jac_fn = (res_mod.residuals_and_jacobians_autodiff if use_autodiff
+              else res_mod.residuals_and_jacobians)
+    x_fixed_template = jnp.zeros(param.ambient_dim, dtype=src.dtype)
+
+    def identity_pose():
+        if param.ambient_dim == 7:
+            return x_fixed_template.at[3].set(1.0)
+        return x_fixed_template
+
+    def build_system(x):
+        r, Jh, _ = jac_fn(param, metric, x, identity_pose(), src, dst, nor)
+        s = _block_s(r, metric)
+        rho, w = loss_fn(s, loss_scale)
+        if weights is not None:
+            wmask = weights.astype(src.dtype)
+            w = w * wmask
+            rho = rho * wmask
+        cost = 0.5 * jnp.sum(rho)
+        if metric == "point_to_point":
+            g = jnp.einsum("nij,ni->j", Jh, w[:, None] * r, precision=_HI)
+            H = jnp.einsum("nij,n,nik->jk", Jh, w, Jh, precision=_HI)
+        else:
+            g = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
+            H = jnp.einsum("nj,n,nk->jk", Jh, w, Jh, precision=_HI)
+        return cost, g, H
+
+    return build_system
+
+
+@partial(jax.jit, static_argnames=("param_name", "metric", "loss",
+                                   "use_autodiff", "config"))
+def solve_pairwise(src, dst, nor=None, *, param_name: str = "se3",
+                   metric: str = "point_to_point", weights=None,
+                   loss: str = "trivial", loss_scale=1.0,
+                   use_autodiff: bool = False, x0=None,
+                   config: LMConfig = LMConfig()):
+    """Pairwise registration via LM, all parameterizations.
+
+    Equivalent of ICP_Ceres::pointToPoint_* / pointToPlane_*
+    (icp-ceres.cpp:137-218, 525-565). Returns (pose7, LMStats).
+    """
+    param = res_mod.PARAMS[param_name]
+    if x0 is None:
+        x7 = jnp.zeros(7, dtype=src.dtype).at[3].set(1.0)
+        x0 = param.from_pose7(x7)
+    else:
+        x0 = param.from_pose7(x0)
+    system = make_pairwise_system(param, metric, src, dst, nor, weights,
+                                  loss, loss_scale, use_autodiff)
+    x, stats = lm_solve(x0, system, param.boxplus, config)
+    return param.to_pose7(x), stats

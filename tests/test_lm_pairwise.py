@@ -1,0 +1,102 @@
+"""Pairwise LM solver: synthetic ground-truth round-trips (the reference's
+de-facto unit test, SURVEY §4.1) for every parameterization x metric, plus
+robust-loss and masking behaviour. Reference accuracy bar: Ceres recovers
+diff_tra ~1e-11, diff_rot ~1.7e-6 deg within <=50 LM iterations
+(BASELINE.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv_lm_icp_tpu.ops import se3
+from mv_lm_icp_tpu.solvers import lm
+
+
+def make_problem(seed=0, n=600, dtype=jnp.float64):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    src = jax.random.normal(k1, (n, 3), dtype)
+    nor = jax.random.normal(k2, (n, 3), dtype)
+    nor = nor / jnp.linalg.norm(nor, axis=-1, keepdims=True)
+    gt = se3.exp(jax.random.normal(k3, (6,), dtype) *
+                 jnp.asarray([0.5, 0.5, 0.5, 0.4, 0.4, 0.4], dtype))
+    dst = se3.apply(gt, src)
+    nor_dst = se3.rotate_only(gt, nor)
+    return src, dst, nor_dst, gt
+
+
+@pytest.mark.parametrize("param_name", ["se3", "quat", "angle_axis"])
+@pytest.mark.parametrize("metric", ["point_to_point", "point_to_plane"])
+class TestSolvePairwise:
+    def test_recovers_gt(self, param_name, metric):
+        src, dst, nor, gt = make_problem()
+        # the solvers register src onto dst: residual g(src) - dst
+        est, stats = lm.solve_pairwise(
+            src, dst, nor, param_name=param_name, metric=metric)
+        dt, dr = se3.pose_diff(gt, est)
+        assert float(dt) < 1e-9, (float(dt), int(stats.iterations))
+        assert float(dr) < 1e-5, (float(dr), int(stats.iterations))
+        assert int(stats.iterations) <= 50
+        assert bool(stats.converged)
+
+    def test_autodiff_matches_analytic(self, param_name, metric):
+        src, dst, nor, gt = make_problem(seed=1, n=200)
+        est_a, _ = lm.solve_pairwise(
+            src, dst, nor, param_name=param_name, metric=metric,
+            use_autodiff=False)
+        est_d, _ = lm.solve_pairwise(
+            src, dst, nor, param_name=param_name, metric=metric,
+            use_autodiff=True)
+        dt, dr = se3.pose_diff(est_a, est_d)
+        assert float(dt) < 1e-8
+        assert float(dr) < 1e-4
+
+
+class TestRobustAndMasking:
+    def test_masked_equals_pruned(self):
+        src, dst, nor, gt = make_problem(seed=2, n=300)
+        w = np.random.default_rng(0).random(300) > 0.3
+        est_m, _ = lm.solve_pairwise(src, dst, nor, weights=jnp.asarray(w),
+                                     metric="point_to_plane")
+        est_d, _ = lm.solve_pairwise(src[np.where(w)[0]],
+                                     dst[np.where(w)[0]],
+                                     nor[np.where(w)[0]],
+                                     metric="point_to_plane")
+        dt, dr = se3.pose_diff(est_m, est_d)
+        assert float(dt) < 1e-10
+        assert float(dr) < 1e-6
+
+    def test_soft_l1_rejects_outliers(self):
+        src, dst, nor, gt = make_problem(seed=3, n=500)
+        rng = np.random.default_rng(1)
+        dst_np = np.array(dst)
+        out = rng.random(500) < 0.15
+        dst_np[out] += rng.normal(scale=2.0, size=(out.sum(), 3))
+        dst_bad = jnp.asarray(dst_np)
+        est_plain, _ = lm.solve_pairwise(src, dst_bad)
+        est_rob, _ = lm.solve_pairwise(src, dst_bad, loss="soft_l1",
+                                       loss_scale=0.05)
+        dt_p, dr_p = se3.pose_diff(gt, est_plain)
+        dt_r, dr_r = se3.pose_diff(gt, est_rob)
+        assert float(dt_r) < float(dt_p) * 0.2
+        assert float(dt_r) < 5e-3
+
+    def test_warm_start(self):
+        """x0 near the solution converges in very few iterations."""
+        src, dst, nor, gt = make_problem(seed=4)
+        est, stats = lm.solve_pairwise(src, dst, x0=gt)
+        assert int(stats.iterations) <= 3
+        dt, _ = se3.pose_diff(gt, est)
+        assert float(dt) < 1e-10
+
+    def test_matches_closedform(self):
+        """LM and Eggert SVD agree on the same correspondences (the
+        reference's cross-solver agreement oracle, SURVEY §4.2)."""
+        from mv_lm_icp_tpu.solvers import closedform
+
+        src, dst, nor, gt = make_problem(seed=5)
+        est_lm, _ = lm.solve_pairwise(src, dst)
+        est_cf = closedform.point_to_point(src, dst)
+        dt, dr = se3.pose_diff(est_lm, est_cf)
+        assert float(dt) < 1e-9
+        assert float(dr) < 1e-5
