@@ -1,0 +1,71 @@
+"""Correspondence search: the first ICP phase, per frame-graph edge.
+
+TPU-native replacement for ``Frame::computeClosestPointsToNeighbours``
+(reference: src/internal/frame.cpp:91-185), the reference's hot loop:
+for each edge (src -> dst), every src point is chained through
+``dstPose^-1 * srcPose`` into the dst local frame (frame.cpp:131-136), 1-NN
+queried against the dst cloud (KD-tree there; tiled brute force here), kept
+if distance < cutoff (frame.cpp:156-160), and the edge's robust scale is
+``1.5 * median(kept distances)`` (frame.cpp:166-176).
+
+Fixed-shape formulation: instead of ragged per-edge lists, every edge
+carries a full [N] slot per src point with a validity mask — the masked
+median proves equal to the reference's median-over-pruned-list because
+masked entries sort to +inf (ops/nn.masked_median).
+
+Fixed src frames produce no correspondences at all (frame.cpp:93), matching
+the reference's early return.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn, se3
+from .frameset import FrameSet
+
+
+@flax.struct.dataclass
+class Correspondences:
+    nn_idx: jnp.ndarray   # [E, N] int32 — dst index for each src point
+    dist: jnp.ndarray     # [E, N] — euclidean distance in dst frame
+    valid: jnp.ndarray    # [E, N] bool — < cutoff, src valid, src not fixed
+    weight: jnp.ndarray   # [E] — 1.5 * median(valid dists) (robust scale)
+
+
+@partial(jax.jit, static_argnames=("chunk", "use_pallas"))
+def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
+                         chunk: int = 2048,
+                         use_pallas: bool = False) -> Correspondences:
+    """All-edges correspondence search (ApproachComponents::
+    computeClosestPoints, main_multiview.cpp:119-127).
+
+    ``use_pallas`` switches the inner 1-NN to the Pallas TPU kernel.
+    """
+    cutoff = jnp.asarray(cutoff, fs.points.dtype)
+
+    if use_pallas:
+        from ..kernels import nn_pallas
+
+    def per_edge(edge):
+        src, dst = edge[0], edge[1]
+        src_pts = fs.points[src]
+        rel = se3.compose(se3.inverse(fs.poses[dst]), fs.poses[src])
+        query = se3.apply(rel, src_pts)            # src pts in dst frame
+        if use_pallas:
+            idx, d2 = nn_pallas.nn_1(query, fs.points[dst],
+                                     fs.valid[dst])
+        else:
+            idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],
+                              chunk=chunk)
+        dist = jnp.sqrt(d2)
+        ok = jnp.logical_and(dist < cutoff, fs.valid[src])
+        ok = jnp.logical_and(ok, ~fs.fixed[src])
+        weight = 1.5 * nn.masked_median(dist, ok)
+        return idx, dist, ok, weight
+
+    idx, dist, ok, weight = jax.lax.map(per_edge, edges)
+    return Correspondences(nn_idx=idx, dist=dist, valid=ok, weight=weight)

@@ -1,0 +1,95 @@
+"""The outer multiview ICP driver: alternate correspondence search and
+joint pose solve.
+
+TPU-native replacement for the reference's main loop
+(reference: src/main_multiview.cpp:150-169): 20 rounds of
+``computeClosestPoints(cutoff)`` then a global Ceres solve, with phase
+timing. Two drivers:
+
+- :func:`run_icp` — host loop over the two jitted phases (matches the
+  reference structure, allows per-round logging/checkpointing),
+- :func:`run_icp_fused` — the whole outer loop as one on-device
+  ``lax.fori_loop`` (zero host round-trips; the benchmark path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers import lm as lm_mod
+from ..solvers import multiview as mv_mod
+from . import correspond, frameset
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Mirrors the reference's multiview gflags (main_multiview.cpp:30-51)
+    plus framework knobs. SURVEY §5 maps all 19 flags."""
+
+    rounds: int = 20                   # outer loop count (:150)
+    knn: int = 2                       # FLAGS_knn
+    cutoff: float = 0.05               # FLAGS_cutoff (dmax)
+    metric: str = "point_to_plane"     # FLAGS_pointToPlane
+    param_name: str = "se3"            # FLAGS_sophusSE3 / angleAxis / quat
+    robust: bool = True                # FLAGS_robust
+    use_autodiff: bool = False         # FLAGS_sophusSE3_autodiff
+    nn_chunk: int = 2048
+    use_pallas: bool = False
+    lm: lm_mod.LMConfig = lm_mod.LMConfig()
+
+
+def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
+    """One (correspondence, solve) alternation. Returns (fs', corr, stats)."""
+    corr = correspond.find_correspondences(
+        fs, edges, cfg.cutoff, chunk=cfg.nn_chunk, use_pallas=cfg.use_pallas)
+    fs, stats = mv_mod.solve_multiview(
+        fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
+        robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm)
+    return fs, corr, stats
+
+
+def run_icp(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(),
+            callback: Optional[Callable] = None):
+    """Host-driven outer loop (reference structure, per-round visibility).
+
+    ``callback(round, fs, corr, stats)`` runs after each round (logging,
+    checkpointing, export). Returns (fs_final, history list).
+    """
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    history: List[dict] = []
+    for i in range(cfg.rounds):
+        fs, corr, stats = icp_round(fs, edges, cfg)
+        entry = dict(
+            round=i,
+            lm_iterations=int(stats.iterations),
+            cost=float(stats.final_cost),
+            matched=int(jnp.sum(corr.valid)),
+        )
+        history.append(entry)
+        if callback is not None:
+            callback(i, fs, corr, stats)
+    return fs, history
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_icp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig()):
+    """The full outer ICP loop as one compiled program.
+
+    The graph is built once from the initial poses (the reference also
+    builds it once before the loop, main_multiview.cpp:142). Returns
+    (fs_final, per-round cost array).
+    """
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+
+    def body(i, carry):
+        fs, costs = carry
+        fs, corr, stats = icp_round(fs, edges, cfg)
+        return fs, costs.at[i].set(stats.final_cost)
+
+    costs0 = jnp.zeros(cfg.rounds, dtype=fs.points.dtype)
+    fs, costs = jax.lax.fori_loop(0, cfg.rounds, body, (fs, costs0))
+    return fs, costs

@@ -1,0 +1,138 @@
+"""Joint multiview pose optimization: blocked Gauss-Newton normal equations
+over the frame graph, solved by the on-device LM core.
+
+TPU-native replacement for the reference's multiview Ceres optimizers
+(reference: src/internal/icp-ceres.cpp:220-475 ``ceresOptimizer``,
+``ceresOptimizer_ceresAngleAxis``, ``ceresOptimizer_sophusSE3``): minimizes
+
+  E(g_1..g_M) = sum_h sum_k A(h,k) sum_i rho(|d(g_h p_i, g_k q_i)|^2)
+
+(docs/mv-lm-icp.tex:84-87) over all absolute poses jointly. Where Ceres
+builds residual-block objects and factorizes a sparse system
+(SPARSE_NORMAL_CHOLESKY, icp-ceres.cpp:66-89), here each edge's
+correspondence array contributes four dense 6x6 blocks
+(H_hh, H_hk, H_kh, H_kk) and two 6-gradients computed as batched einsums,
+scatter-added into the dense [6F, 6F] system — for frame counts in the
+hundreds this dense Cholesky is faster on TPU than any sparse structure.
+
+Gauge fixing: fixed frames' rows/columns are eliminated exactly — zeroed
+on both sides with an identity diagonal — which is algebraically identical
+to dropping them (delta_fixed = 0, no coupling), the well-conditioned
+version of Ceres' SetParameterBlockConstant (icp-ceres.cpp:306-312,
+SURVEY §7.3.5). The robust SoftL1 loss uses the per-edge scale
+``corr.weight`` exactly like icp-ceres.cpp:283-284.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.correspond import Correspondences
+from ..models.frameset import FrameSet
+from ..ops import residuals as res_mod
+from ..ops import robust as robust_mod
+from . import lm as lm_mod
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def make_multiview_system(param, metric: str, fs: FrameSet,
+                          edges: jnp.ndarray, corr: Correspondences,
+                          robust: bool, use_autodiff: bool = False):
+    """Returns build_system(xs[F, ambient]) -> (cost, g[6F], H[6F, 6F])."""
+    F = fs.num_frames
+    jac_fn = (res_mod.residuals_and_jacobians_autodiff if use_autodiff
+              else res_mod.residuals_and_jacobians)
+    loss_fn = robust_mod.soft_l1 if robust else robust_mod.trivial
+    free = (~fs.fixed).astype(fs.points.dtype)            # [F]
+    free6 = jnp.repeat(free, 6)                           # [6F]
+
+    # Per-edge gathered constants (E, N, 3); gathers happen once at trace.
+    src_idx, dst_idx = edges[:, 0], edges[:, 1]
+    p_e = fs.points[src_idx]                              # (E, N, 3)
+    q_e = jnp.take_along_axis(
+        fs.points[dst_idx], corr.nn_idx[..., None], axis=1)
+    n_e = jnp.take_along_axis(
+        fs.normals[dst_idx], corr.nn_idx[..., None], axis=1)
+    vmask = corr.valid.astype(fs.points.dtype)            # (E, N)
+    scale = corr.weight[:, None]                          # (E, 1)
+
+    def build_system(xs):
+        def edge_terms(e):
+            x_h = xs[src_idx[e]]
+            x_k = xs[dst_idx[e]]
+            r, Jh, Jk = jac_fn(param, metric, x_h, x_k,
+                               p_e[e], q_e[e], n_e[e])
+            if metric == "point_to_point":
+                s = jnp.sum(r * r, axis=-1)
+            else:
+                s = r * r
+            rho, w = loss_fn(s, scale[e])
+            w = w * vmask[e]
+            cost_e = 0.5 * jnp.sum(rho * vmask[e])
+            if metric == "point_to_point":
+                g_h = jnp.einsum("nij,ni->j", Jh, w[:, None] * r,
+                                 precision=_HI)
+                g_k = jnp.einsum("nij,ni->j", Jk, w[:, None] * r,
+                                 precision=_HI)
+                H_hh = jnp.einsum("nij,n,nik->jk", Jh, w, Jh, precision=_HI)
+                H_hk = jnp.einsum("nij,n,nik->jk", Jh, w, Jk, precision=_HI)
+                H_kk = jnp.einsum("nij,n,nik->jk", Jk, w, Jk, precision=_HI)
+            else:
+                g_h = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
+                g_k = jnp.einsum("nj,n->j", Jk, w * r, precision=_HI)
+                H_hh = jnp.einsum("nj,n,nk->jk", Jh, w, Jh, precision=_HI)
+                H_hk = jnp.einsum("nj,n,nk->jk", Jh, w, Jk, precision=_HI)
+                H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk, precision=_HI)
+            return cost_e, g_h, g_k, H_hh, H_hk, H_kk
+
+        cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
+            edge_terms, jnp.arange(edges.shape[0]))
+
+        cost = jnp.sum(cost_e)
+        G = jnp.zeros((F, 6), dtype=cost.dtype)
+        G = G.at[src_idx].add(g_h).at[dst_idx].add(g_k)
+        H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
+        H = H.at[src_idx, :, src_idx, :].add(H_hh)
+        H = H.at[dst_idx, :, dst_idx, :].add(H_kk)
+        H = H.at[src_idx, :, dst_idx, :].add(H_hk)
+        H = H.at[dst_idx, :, src_idx, :].add(
+            jnp.swapaxes(H_hk, -1, -2))
+
+        g = G.reshape(F * 6) * free6
+        Hm = H.reshape(F * 6, F * 6)
+        Hm = Hm * free6[:, None] * free6[None, :]
+        Hm = Hm + jnp.diag(1.0 - free6)
+        return cost, g, Hm
+
+    return build_system
+
+
+@partial(jax.jit, static_argnames=("param_name", "metric", "robust",
+                                   "use_autodiff", "config"))
+def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
+                    *, param_name: str = "se3",
+                    metric: str = "point_to_plane", robust: bool = True,
+                    use_autodiff: bool = False,
+                    config: lm_mod.LMConfig = lm_mod.LMConfig()):
+    """One joint LM solve over all frame poses with fixed correspondences.
+
+    The equivalent of one ceresOptimizer_* call in the outer ICP loop
+    (main_multiview.cpp:158-164). Returns (FrameSet with updated poses,
+    LMStats).
+    """
+    param = res_mod.PARAMS[param_name]
+    free = (~fs.fixed).astype(fs.points.dtype)
+    x0 = jax.vmap(param.from_pose7)(fs.poses)
+    system = make_multiview_system(param, metric, fs, edges, corr, robust,
+                                   use_autodiff)
+
+    def apply_delta(xs, delta):
+        d = delta.reshape(fs.num_frames, 6) * free[:, None]
+        return jax.vmap(param.boxplus)(xs, d)
+
+    xs, stats = lm_mod.lm_solve(x0, system, apply_delta, config)
+    poses = jax.vmap(param.to_pose7)(xs)
+    return fs.replace(poses=poses), stats

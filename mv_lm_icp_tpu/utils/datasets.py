@@ -46,8 +46,9 @@ class RawFrames:
 
 
 def _mat_to_se3(mat: np.ndarray) -> np.ndarray:
-    return np.asarray(
-        se3.from_matrix(jnp.asarray(mat, dtype=jnp.float64)))
+    # no explicit dtype: stays f64 when x64 is enabled (CPU tests), f32
+    # otherwise (TPU) — avoids the noisy truncation warning either way
+    return np.asarray(se3.from_matrix(jnp.asarray(mat)))
 
 
 def load_raw_frames(dir_path: str, *, limit: int = 40, step: int = 2,

@@ -1,0 +1,65 @@
+"""Evaluation metrics and run summaries.
+
+Replicates the reference's accuracy reporting (``poseDiff`` strings,
+include/common.h:259-282; ``summary`` quantile table, common.h:290-329) and
+adds the alignment-RMSE-vs-ground-truth metric that BASELINE.json keys on.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+
+
+def pose_errors(poses: jnp.ndarray, gt_poses: jnp.ndarray):
+    """Per-frame (diff_tra [F], diff_rot_deg [F])."""
+    return se3.pose_diff(poses, gt_poses)
+
+
+def mean_pose_error(poses, gt_poses):
+    dt, dr = pose_errors(poses, gt_poses)
+    return float(jnp.mean(dt)), float(jnp.mean(dr))
+
+
+def alignment_rmse(fs) -> float:
+    """RMSE of estimated-vs-GT global point positions over valid points.
+
+    The 'converged alignment RMSE on Bunny/dinosaur' number from
+    BASELINE.json: for each frame, points mapped by the estimated pose vs
+    the ground-truth pose, masked root-mean-square over the scene.
+    """
+    est = jax.vmap(se3.apply)(fs.poses, fs.points)
+    gt = jax.vmap(se3.apply)(fs.gt_poses, fs.points)
+    d2 = jnp.sum((est - gt) ** 2, axis=-1)
+    w = fs.valid.astype(d2.dtype)
+    return float(jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)))
+
+
+def pose_diff_report(poses, gt_poses, label: str = "") -> str:
+    """Reference-style per-frame accuracy lines (common.h:278-280)."""
+    dt, dr = pose_errors(poses, gt_poses)
+    lines = []
+    for i in range(poses.shape[0]):
+        lines.append(f"{label}frame {i}\t diff_tra:{float(dt[i]):.6g}"
+                     f"\t diff_rot_degrees:{float(dr[i]):.6g}")
+    return "\n".join(lines)
+
+
+def summary(values, name: str = "") -> str:
+    """R-style quantile summary string (common.h:290-329)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = v.size
+    if n == 0:
+        return f"Summary of 0 {name}: empty"
+    mean = float(v.mean())
+    std = float(np.sqrt(np.mean(v * v) - mean * mean))
+    pick = lambda frac: float(v[min(int(n * frac), n - 1)])
+    return (
+        f"Summary of {n} {name}:\n"
+        "Min\t.25\tMed\tMean\t.75\tMax \tStd\n"
+        f"{v[0]:.4g} \t{pick(.25):.4g} \t{pick(.5):.4g} \t"
+        f"{round(mean * 100) * 0.01:.4g} \t{pick(.75):.4g} \t"
+        f"{v[-1]:.4g} \t{round(std * 100) * 0.01:.4g}"
+    )

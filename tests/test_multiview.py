@@ -1,0 +1,208 @@
+"""Multiview ICP: graph construction, correspondence semantics, joint
+solve with gauge fixing, and noise-injection convergence (the reference's
+de-facto system test, SURVEY §4.3)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv_lm_icp_tpu.models import correspond, frameset, pipeline
+from mv_lm_icp_tpu.ops import se3
+from mv_lm_icp_tpu.solvers import multiview as mv
+from mv_lm_icp_tpu.utils import datasets, metrics
+
+HAVE_SAMPLES = os.path.isdir(datasets.BUNNY_DIR)
+needs_samples = pytest.mark.skipif(not HAVE_SAMPLES,
+                                   reason="reference samples not mounted")
+
+
+def synthetic_frameset(F=5, N=400, sigma=0.05, sigmat=0.03, seed=0,
+                       dtype=jnp.float64):
+    """FLAGS_fake-style fixture: every frame is the same geometry, GT poses
+    form a chain, estimates are noised (frame 0 exact)."""
+    key = jax.random.PRNGKey(seed)
+    kp, kn, kposes, knoise = jax.random.split(key, 4)
+    base = jax.random.normal(kp, (N, 3), dtype)
+    nor = jax.random.normal(kn, (N, 3), dtype)
+    nor = nor / jnp.linalg.norm(nor, axis=-1, keepdims=True)
+    # chain of small relative motions
+    taus = 0.3 * jax.random.normal(kposes, (F, 6), dtype)
+    gt = [se3.identity(dtype)]
+    for i in range(1, F):
+        gt.append(se3.compose(gt[-1], se3.exp(0.3 * taus[i])))
+    gt = jnp.stack(gt)
+    noise_keys = jax.random.split(knoise, F)
+    noisy = jax.vmap(lambda k, x: se3.add_noise(k, x, sigma, sigmat))(
+        noise_keys, gt)
+    poses = jnp.concatenate([gt[:1], noisy[1:]], axis=0)
+    # each frame stores the shared global scene in its LOCAL coordinates,
+    # so that at GT poses the global scenes coincide exactly
+    inv_gt = jax.vmap(se3.inverse)(gt)
+    pts_local = jax.vmap(lambda g: se3.apply(g, base))(inv_gt)
+    nor_local = jax.vmap(lambda g: se3.rotate_only(g, nor))(inv_gt)
+    return frameset.FrameSet(
+        points=pts_local,
+        normals=nor_local,
+        valid=jnp.ones((F, N), bool),
+        poses=poses,
+        gt_poses=gt,
+        fixed=jnp.asarray(np.arange(F) == 0),
+    )
+
+
+class TestGraph:
+    def test_knn_graph_chain(self):
+        """Frames on a line with k=2 -> each connects to its 2 nearest."""
+        t = np.zeros((5, 7))
+        t[:, 3] = 1.0
+        t[:, 4] = np.arange(5)  # x positions 0..4
+        edges = frameset.knn_pose_graph(jnp.asarray(t), 2)
+        A = frameset.adjacency_matrix(edges, 5)
+        expected = np.zeros((5, 5), int)
+        for i in range(5):
+            ds = [(abs(i - j), j) for j in range(5) if j != i]
+            for _, j in sorted(ds)[:2]:
+                expected[i, j] = 1
+        # interior frames connect to both sides; ends to the 2 nearest
+        np.testing.assert_array_equal(A, expected)
+
+    def test_edges_shape_order(self):
+        t = np.random.default_rng(0).normal(size=(7, 7))
+        edges = frameset.knn_pose_graph(jnp.asarray(t), 3)
+        e = np.asarray(edges)
+        assert e.shape == (21, 2)
+        np.testing.assert_array_equal(e[:, 0], np.repeat(np.arange(7), 3))
+        assert (e[:, 0] != e[:, 1]).all()
+
+
+class TestCorrespondences:
+    def test_exact_alignment_self_match(self):
+        """With GT poses, each src point's NN is itself (identical clouds)
+        at distance ~0."""
+        fs = synthetic_frameset()
+        fs = fs.replace(poses=fs.gt_poses)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        corr = correspond.find_correspondences(fs, edges, cutoff=0.05)
+        e = np.asarray(edges)
+        live = e[:, 0] != 0  # frame 0 fixed -> no correspondences
+        idx = np.asarray(corr.nn_idx)[live]
+        np.testing.assert_array_equal(
+            idx, np.tile(np.arange(fs.num_points), (live.sum(), 1)))
+        assert np.asarray(corr.dist)[live].max() < 1e-6
+        assert np.asarray(corr.valid)[live].all()
+
+    def test_fixed_frame_produces_nothing(self):
+        fs = synthetic_frameset()
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        corr = correspond.find_correspondences(fs, edges, cutoff=0.05)
+        e = np.asarray(edges)
+        fixed_rows = e[:, 0] == 0
+        assert not np.asarray(corr.valid)[fixed_rows].any()
+
+    def test_cutoff_prunes(self):
+        fs = synthetic_frameset(sigma=0.0, sigmat=0.0)
+        # shift frame 1 far away: nothing within cutoff
+        poses = np.array(fs.poses)
+        poses[1, 4:7] += 100.0
+        fs = fs.replace(poses=jnp.asarray(poses),
+                        gt_poses=jnp.asarray(poses))
+        edges = jnp.asarray([[1, 2]], jnp.int32)
+        corr = correspond.find_correspondences(fs, edges, cutoff=0.05)
+        assert not np.asarray(corr.valid).any()
+        # weight falls back to 1.5 * fallback median
+        assert np.isfinite(float(corr.weight[0]))
+
+    def test_weight_median_semantics(self):
+        """weight == 1.5 * upper-median of kept distances (frame.cpp:176)."""
+        fs = synthetic_frameset(F=3, N=64, sigma=0.01, sigmat=0.005)
+        edges = jnp.asarray([[1, 0]], jnp.int32)
+        corr = correspond.find_correspondences(fs, edges, cutoff=1e9)
+        d = np.asarray(corr.dist[0])
+        v = np.asarray(corr.valid[0])
+        kept = np.sort(d[v])
+        expected = 1.5 * kept[len(kept) // 2]
+        np.testing.assert_allclose(float(corr.weight[0]), expected,
+                                   rtol=1e-6)
+
+
+@pytest.mark.parametrize("param_name", ["se3", "quat", "angle_axis"])
+class TestJointSolve:
+    def test_perfect_correspondences_recover_gt(self, param_name):
+        """With exact correspondences, one joint LM solve returns all poses
+        to GT (multiview analogue of the pairwise round-trip)."""
+        fs = synthetic_frameset(sigma=0.03, sigmat=0.02)
+        edges = frameset.knn_pose_graph(fs.gt_poses, 2)
+        # perfect correspondences: identical clouds -> index i <-> i
+        E, N = edges.shape[0], fs.num_points
+        src_fixed = fs.fixed[edges[:, 0]]
+        corr = correspond.Correspondences(
+            nn_idx=jnp.tile(jnp.arange(N, dtype=jnp.int32), (E, 1)),
+            dist=jnp.zeros((E, N), fs.points.dtype),
+            valid=jnp.tile(~src_fixed[:, None], (1, N)),
+            weight=jnp.ones((E,), fs.points.dtype),
+        )
+        fs2, stats = mv.solve_multiview(fs, edges, corr,
+                                        param_name=param_name,
+                                        metric="point_to_point",
+                                        robust=False)
+        dt, dr = se3.pose_diff(fs2.poses, fs2.gt_poses)
+        assert float(jnp.max(dt)) < 1e-8, np.asarray(dt)
+        assert float(jnp.max(dr)) < 1e-4
+        # gauge: frame 0 untouched bitwise
+        np.testing.assert_array_equal(np.asarray(fs2.poses[0]),
+                                      np.asarray(fs.poses[0]))
+
+
+class TestICPLoop:
+    def test_fake_fixture_converges(self):
+        """The FLAGS_fake system test: identical clouds, noised poses ->
+        the full ICP loop re-converges to GT."""
+        fs = synthetic_frameset(F=4, N=300, sigma=0.04, sigmat=0.02)
+        rmse0 = metrics.alignment_rmse(fs)
+        cfg = pipeline.ICPConfig(rounds=8, knn=2, cutoff=1.0,
+                                 metric="point_to_point", robust=False,
+                                 nn_chunk=512)
+        fs2, hist = pipeline.run_icp(fs, cfg)
+        rmse1 = metrics.alignment_rmse(fs2)
+        assert rmse1 < rmse0 * 1e-3, (rmse0, rmse1)
+        dt, dr = se3.pose_diff(fs2.poses, fs2.gt_poses)
+        assert float(jnp.max(dt)) < 1e-5
+
+    def test_p2pl_robust_converges(self):
+        fs = synthetic_frameset(F=4, N=300, sigma=0.03, sigmat=0.02, seed=7)
+        cfg = pipeline.ICPConfig(rounds=8, knn=2, cutoff=1.0,
+                                 metric="point_to_plane", robust=True,
+                                 nn_chunk=512)
+        fs2, _ = pipeline.run_icp(fs, cfg)
+        rmse1 = metrics.alignment_rmse(fs2)
+        assert rmse1 < 1e-4, rmse1
+
+    def test_fused_equals_host_loop(self):
+        fs = synthetic_frameset(F=3, N=200, sigma=0.02, sigmat=0.01, seed=9)
+        cfg = pipeline.ICPConfig(rounds=3, knn=2, cutoff=1.0,
+                                 metric="point_to_point", robust=False,
+                                 nn_chunk=256)
+        fs_host, _ = pipeline.run_icp(fs, cfg)
+        fs_fused, costs = pipeline.run_icp_fused(fs, cfg)
+        np.testing.assert_allclose(np.asarray(fs_host.poses),
+                                   np.asarray(fs_fused.poses), atol=1e-10)
+        assert costs.shape == (3,)
+
+
+@needs_samples
+class TestBunnySubset:
+    def test_bunny_multiview_improves(self):
+        """4 real Bunny frames (subsampled): ICP reduces alignment RMSE
+        from the injected noise level."""
+        raw = datasets.load_raw_frames(datasets.BUNNY_DIR, limit=4, step=2,
+                                       sigma=0.02, sigmat=0.01, seed=0)
+        fs = frameset.from_raw(raw, dtype=jnp.float64, point_stride=8)
+        rmse0 = metrics.alignment_rmse(fs)
+        cfg = pipeline.ICPConfig(rounds=5, knn=2, cutoff=0.05,
+                                 metric="point_to_plane", robust=True,
+                                 nn_chunk=512)
+        fs2, hist = pipeline.run_icp(fs, cfg)
+        rmse1 = metrics.alignment_rmse(fs2)
+        assert rmse1 < rmse0 * 0.35, (rmse0, rmse1)
