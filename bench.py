@@ -1,0 +1,126 @@
+"""Benchmark entry point — prints ONE JSON line on stdout.
+
+Headline metric: per-solve wall time of the reference's published benchmark
+config — pairwise point-to-plane ICP on Bunny_RealData/cloudXYZ_0.xyz
+(16.7k pts), synthetic pose + noise(0.1, 0.1), SE(3) parameterization,
+<=50 LM iterations (reference: README.md:137 "ceres SophusSE3 0.083 s",
+single CPU thread; see BASELINE.md). vs_baseline = 0.083 / ours.
+
+Methodology: this rig reaches the TPU through an RPC tunnel with a ~25 ms
+per-call floor and unreliable async completion, so naive per-call timing is
+meaningless. Instead K solves are chained *inside one jitted fori_loop*
+(each with an index-perturbed input so nothing can be cached/folded), a
+scalar is fetched to force completion, and the per-solve time is the slope
+between two chain lengths — which cancels the constant RPC/dispatch floor
+exactly. This also reflects production use: batched on-device pipelines,
+not one RPC per solve.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+CERES_SE3_P2PL_SECONDS = 0.083  # README.md:137
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def enable_compile_cache():
+    import os
+
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        log(f"compilation cache unavailable: {e}")
+
+
+def chain_time(make_chain, k1=8, k2=32, reps=3):
+    """Per-iteration seconds via two-point slope; cancels RPC floor."""
+    import numpy as np
+
+    f1, f2 = make_chain(k1), make_chain(k2)
+    float(f1())  # compile
+    float(f2())
+    t1 = min(_timed_fetch(f1) for _ in range(reps))
+    t2 = min(_timed_fetch(f2) for _ in range(reps))
+    return max((t2 - t1) / (k2 - k1), 1e-9), t1, t2
+
+
+def _timed_fetch(f):
+    t0 = time.perf_counter()
+    float(f())  # scalar fetch forces full completion
+    return time.perf_counter() - t0
+
+
+def main():
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mv_lm_icp_tpu.ops import se3
+    from mv_lm_icp_tpu.solvers import closedform, lm
+    from mv_lm_icp_tpu.utils import datasets
+
+    log(f"devices: {jax.devices()}")
+    pts_np, nor_np = datasets.load_single_cloud()
+    pts = jnp.asarray(pts_np, jnp.float32)
+    nor = jnp.asarray(nor_np, jnp.float32)
+    gt = se3.add_noise(jax.random.PRNGKey(42),
+                       datasets.synthetic_pairwise_pose(jnp.float32),
+                       0.1, 0.1)
+    dst = se3.apply(gt, pts)
+    nor_dst = se3.rotate_only(gt, nor)
+
+    def lm_chain(k):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                d = dst + (1e-7 * i)   # defeat folding; negligible physics
+                est, stats = lm.solve_pairwise(
+                    pts, d, nor_dst, param_name="se3",
+                    metric="point_to_plane")
+                return acc + jnp.sum(est) + stats.final_cost
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    t_lm, t1, t2 = chain_time(lm_chain)
+    log(f"pairwise p2pl se3 LM: {t_lm*1e3:.2f} ms/solve "
+        f"(chains: {t1*1e3:.1f} / {t2*1e3:.1f} ms)")
+    est, _ = lm.solve_pairwise(pts, dst, nor_dst, param_name="se3",
+                               metric="point_to_plane")
+    dt, dr = se3.pose_diff(gt, est)
+    log(f"accuracy: diff_tra={float(dt):.2e} diff_rot={float(dr):.2e} deg")
+
+    def cf_chain(k):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                d = dst + (1e-7 * i)
+                return acc + jnp.sum(closedform.point_to_point(pts, d))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    t_cf, _, _ = chain_time(cf_chain)
+    log(f"closed-form p2pt: {t_cf*1e3:.3f} ms/solve (ref 1 ms)")
+
+    result = {
+        "metric": "pairwise_p2pl_se3_lm_solve",
+        "value": round(t_lm, 6),
+        "unit": "s",
+        "vs_baseline": round(CERES_SE3_P2PL_SECONDS / t_lm, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

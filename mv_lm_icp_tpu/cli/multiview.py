@@ -1,0 +1,183 @@
+"""Multiview LM-ICP CLI.
+
+Replicates src/main_multiview.cpp: load a frame directory, build the kNN
+pose graph (adjacency printed), then run the outer ICP loop — 20 rounds of
+correspondence search + global solve — with per-round timing. Flags mirror
+the reference's 15 multiview gflags 1:1 (main_multiview.cpp:30-51); extras
+cover the TPU framework surface (dtype, point stride, sharding, export,
+checkpointing — the headless replacements for the interactive viewer).
+
+Run:  python -m mv_lm_icp_tpu.cli.multiview --dir <samples/Bunny_RealData>
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    # the reference's 15 flags (main_multiview.cpp:30-51)
+    p.add_argument("--pointToPlane", dest="point_to_plane",
+                   action="store_true", default=True,
+                   help="use point to plane distance metric (default true)")
+    p.add_argument("--no-pointToPlane", dest="point_to_plane",
+                   action="store_false")
+    p.add_argument("--sophusSE3", action="store_true", default=True,
+                   help="SE3 Lie-algebra parameterization (default)")
+    p.add_argument("--no-sophusSE3", dest="sophusSE3", action="store_false")
+    p.add_argument("--sophusSE3_autodiff", action="store_true")
+    p.add_argument("--angleAxis", action="store_true")
+    p.add_argument("--g2o", action="store_true",
+                   help="GICP pose-graph solver instead of LM")
+    p.add_argument("--cutoff", type=float, default=0.05,
+                   help="dmax correspondence pruning distance")
+    p.add_argument("--knn", type=int, default=2,
+                   help="pose-graph nearest neighbours")
+    p.add_argument("--dir", default="/root/reference/samples/Bunny_RealData")
+    p.add_argument("--sigma", type=float, default=0.02,
+                   help="rotation noise")
+    p.add_argument("--sigmat", type=float, default=0.01,
+                   help="translation noise")
+    p.add_argument("--fake", action="store_true",
+                   help="load frame 0 repeatedly")
+    p.add_argument("--limit", type=int, default=40)
+    p.add_argument("--step", type=int, default=2)
+    p.add_argument("--recomputeNormals", dest="recompute_normals",
+                   action="store_true", default=True)
+    p.add_argument("--no-recomputeNormals", dest="recompute_normals",
+                   action="store_false")
+    p.add_argument("--robust", action="store_true", default=True)
+    p.add_argument("--no-robust", dest="robust", action="store_false")
+    # framework extensions
+    p.add_argument("--rounds", type=int, default=20)
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    p.add_argument("--point-stride", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true",
+                   help="distribute over all visible devices")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the Pallas NN kernel")
+    p.add_argument("--export-ply", default=None,
+                   help="write colored merged cloud after the run")
+    p.add_argument("--export-xyz", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="npz path; saved every round, resumed if present")
+    p.add_argument("--platform", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import frameset, pipeline
+    from ..utils import checkpoint, datasets, export, metrics
+    from ..utils.timer import Timer
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    raw = datasets.load_raw_frames(
+        args.dir, limit=args.limit, step=args.step, fake=args.fake,
+        sigma=args.sigma, sigmat=args.sigmat, seed=args.seed)
+    fs = frameset.from_raw(raw, dtype=dtype,
+                           recompute_normals=args.recompute_normals,
+                           point_stride=args.point_stride)
+    print(f"frames: {fs.num_frames}  points/frame (padded): "
+          f"{fs.num_points}  dtype: {dtype.__name__}")
+
+    param = ("se3" if args.sophusSE3 else
+             "angle_axis" if args.angleAxis else "quat")
+    cfg = pipeline.ICPConfig(
+        rounds=args.rounds, knn=args.knn, cutoff=args.cutoff,
+        metric=("point_to_plane" if args.point_to_plane
+                else "point_to_point"),
+        param_name=param, robust=args.robust,
+        use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas)
+
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    print("graph adjacency matrix == block structure")
+    print(frameset.adjacency_matrix(edges, fs.num_frames))
+
+    start_round = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        fs, start_round, _ = checkpoint.restore(args.checkpoint, fs)
+        print(f"resumed from {args.checkpoint} at round {start_round}")
+
+    print(f"initial alignment RMSE: {metrics.alignment_rmse(fs):.6f}")
+    timer = Timer()
+
+    if args.g2o:
+        from ..models import correspond
+        from ..solvers import posegraph
+
+        for i in range(start_round, args.rounds):
+            timer.tic()
+            corr = correspond.find_correspondences(
+                fs, edges, cfg.cutoff, use_pallas=args.pallas)
+            timer.toc(f"closest pts {i}", block_on=corr.dist)
+            timer.tic()
+            fs, chi2_hist = posegraph.solve_posegraph(
+                fs, edges, corr, point_to_plane=args.point_to_plane)
+            timer.toc(f"global {i}", block_on=fs.poses)
+            print(f"round: {i}  chi2: {chi2_hist[-1]:.6g}  "
+                  f"rmse: {metrics.alignment_rmse(fs):.6f}")
+            if args.checkpoint:
+                checkpoint.save(args.checkpoint, fs, i + 1)
+    elif args.sharded and len(jax.devices()) > 1:
+        from ..parallel import mesh as mesh_mod
+        from ..parallel import sharded
+
+        m = mesh_mod.make_mesh()
+        print(f"mesh: {dict(zip(m.axis_names, m.devices.shape))}")
+        for i in range(start_round, args.rounds):
+            timer.tic()
+            fs = sharded.sharded_icp_round(fs, edges, cfg, m)
+            timer.toc(f"round {i}", block_on=fs.poses)
+            print(f"round: {i}  rmse: {metrics.alignment_rmse(fs):.6f}")
+            if args.checkpoint:
+                checkpoint.save(args.checkpoint, fs, i + 1)
+    else:
+        for i in range(start_round, args.rounds):
+            timer.tic()
+            corr = pipeline.correspond.find_correspondences(
+                fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+                use_pallas=args.pallas)
+            timer.toc(f"closest pts {i}", block_on=corr.dist)
+            timer.tic()
+            from ..solvers import multiview as mv
+
+            fs, stats = mv.solve_multiview(
+                fs, edges, corr, param_name=cfg.param_name,
+                metric=cfg.metric, robust=cfg.robust,
+                use_autodiff=cfg.use_autodiff, config=cfg.lm)
+            timer.toc(f"global {i}", block_on=fs.poses)
+            print(f"round: {i}  lm_iters: {int(stats.iterations)}  "
+                  f"cost: {float(stats.final_cost):.6g}  "
+                  f"rmse: {metrics.alignment_rmse(fs):.6f}")
+            if args.checkpoint:
+                checkpoint.save(args.checkpoint, fs, i + 1)
+
+    timer.print_all_timings()
+    dt, dr = metrics.mean_pose_error(fs.poses, fs.gt_poses)
+    print(f"final alignment RMSE: {metrics.alignment_rmse(fs):.6f}")
+    print(f"mean pose error: tra={dt:.6g} rot={dr:.6g} deg")
+    if args.export_ply:
+        n = export.write_ply(args.export_ply, fs, include_gt=True)
+        print(f"wrote {n} points to {args.export_ply}")
+    if args.export_xyz:
+        n = export.write_xyz(args.export_xyz, fs)
+        print(f"wrote {n} points to {args.export_xyz}")
+
+
+if __name__ == "__main__":
+    main()

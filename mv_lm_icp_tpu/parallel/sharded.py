@@ -1,0 +1,183 @@
+"""Sharded multiview ICP: correspondence search and Hessian assembly
+distributed over an (edge, point) device mesh via shard_map + XLA
+collectives.
+
+This is the distributed redesign of the reference's single-thread loop
+(reference: src/main_multiview.cpp:150-169) per SURVEY §2.3/§5:
+
+- the frame-graph edge axis is partitioned across the ``edge`` mesh axis
+  (each device searches correspondences and accumulates 6x6 Hessian
+  blocks only for its edges),
+- the per-edge point axis is partitioned across the ``point`` mesh axis
+  (each device queries a slice of the src cloud; the per-edge robust
+  median is computed from an all_gather of the distance slices),
+- the blocked normal equations are psum-reduced over both axes and the
+  tiny gauge-fixed [6F, 6F] LM solve runs replicated on every device —
+  communication is O(F^2) floats per LM iteration, independent of point
+  count, riding ICI.
+
+The same program scales to multiple hosts by initializing
+``jax.distributed`` and building the mesh over all processes' devices.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..models import correspond, frameset
+from ..models.pipeline import ICPConfig
+from ..ops import nn, residuals as res_mod, robust as robust_mod, se3
+from ..solvers import lm as lm_mod
+from . import mesh as mesh_mod
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def pad_edges(edges: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Pad the edge list to a multiple of the edge-mesh size with
+    self-loops on frame 0 (fixed frame -> contributes nothing)."""
+    E = edges.shape[0]
+    target = -(-E // multiple) * multiple
+    if target == E:
+        return edges
+    pad = jnp.zeros((target - E, 2), dtype=edges.dtype)
+    return jnp.concatenate([edges, pad], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
+                      cfg: ICPConfig, mesh):
+    """One distributed (correspondence, joint-solve) ICP round.
+
+    FrameSet is replicated (frames are small relative to HBM; the sharded
+    work is the O(E * N^2) correspondence search and O(E * N) assembly).
+    Returns the FrameSet with updated poses (replicated).
+    """
+    param = res_mod.PARAMS[cfg.param_name]
+    metric = cfg.metric
+    n_edge = mesh.shape[mesh_mod.EDGE_AXIS]
+    n_point = mesh.shape[mesh_mod.POINT_AXIS]
+    edges = pad_edges(edges, n_edge)
+    F = fs.num_frames
+    N = fs.num_points
+    assert N % n_point == 0, (N, n_point)
+    free = (~fs.fixed).astype(fs.points.dtype)
+    free6 = jnp.repeat(free, 6)
+    loss_fn = robust_mod.soft_l1 if cfg.robust else robust_mod.trivial
+
+    def device_fn(fs_rep, edges_loc):
+        """Runs per device: edges_loc is this device's edge slice; the
+        point axis is sliced by this device's coordinate."""
+        pidx = jax.lax.axis_index(mesh_mod.POINT_AXIS)
+        nloc = N // n_point
+        start = pidx * nloc
+
+        def edge_corr(edge):
+            src, dst = edge[0], edge[1]
+            src_pts = jax.lax.dynamic_slice_in_dim(
+                fs_rep.points[src], start, nloc, axis=0)
+            src_valid = jax.lax.dynamic_slice_in_dim(
+                fs_rep.valid[src], start, nloc, axis=0)
+            rel = se3.compose(se3.inverse(fs_rep.poses[dst]),
+                              fs_rep.poses[src])
+            query = se3.apply(rel, src_pts)
+            idx, d2 = nn.nn_1(query, fs_rep.points[dst], fs_rep.valid[dst],
+                              chunk=min(cfg.nn_chunk, N))
+            dist = jnp.sqrt(d2)
+            ok = jnp.logical_and(dist < cfg.cutoff, src_valid)
+            ok = jnp.logical_and(ok, ~fs_rep.fixed[src])
+            # robust scale needs the whole edge's distances: gather the
+            # point-axis shards (nloc * n_point = N values)
+            dist_all = jax.lax.all_gather(
+                dist, mesh_mod.POINT_AXIS, tiled=True)
+            ok_all = jax.lax.all_gather(
+                ok, mesh_mod.POINT_AXIS, tiled=True)
+            weight = 1.5 * nn.masked_median(dist_all, ok_all)
+            return idx, dist, ok, weight, start
+
+        idxs, dists, oks, weights, starts = jax.lax.map(edge_corr, edges_loc)
+
+        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
+
+        def build_system(xs):
+            def edge_terms(e):
+                src, dst = src_idx[e], dst_idx[e]
+                p = jax.lax.dynamic_slice_in_dim(
+                    fs_rep.points[src], starts[e], nloc, axis=0)
+                q = fs_rep.points[dst][idxs[e]]
+                nrm = fs_rep.normals[dst][idxs[e]]
+                r, Jh, Jk = res_mod.residuals_and_jacobians(
+                    param, metric, xs[src], xs[dst], p, q, nrm)
+                s = jnp.sum(r * r, -1) if metric == "point_to_point" else r * r
+                rho, w = loss_fn(s, weights[e])
+                w = w * oks[e].astype(p.dtype)
+                cost_e = 0.5 * jnp.sum(rho * oks[e].astype(p.dtype))
+                if metric == "point_to_point":
+                    g_h = jnp.einsum("nij,ni->j", Jh, w[:, None] * r,
+                                     precision=_HI)
+                    g_k = jnp.einsum("nij,ni->j", Jk, w[:, None] * r,
+                                     precision=_HI)
+                    H_hh = jnp.einsum("nij,n,nik->jk", Jh, w, Jh,
+                                      precision=_HI)
+                    H_hk = jnp.einsum("nij,n,nik->jk", Jh, w, Jk,
+                                      precision=_HI)
+                    H_kk = jnp.einsum("nij,n,nik->jk", Jk, w, Jk,
+                                      precision=_HI)
+                else:
+                    g_h = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
+                    g_k = jnp.einsum("nj,n->j", Jk, w * r, precision=_HI)
+                    H_hh = jnp.einsum("nj,n,nk->jk", Jh, w, Jh, precision=_HI)
+                    H_hk = jnp.einsum("nj,n,nk->jk", Jh, w, Jk, precision=_HI)
+                    H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk, precision=_HI)
+                return cost_e, g_h, g_k, H_hh, H_hk, H_kk
+
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
+                edge_terms, jnp.arange(edges_loc.shape[0]))
+            cost = jnp.sum(cost_e)
+            G = jnp.zeros((F, 6), dtype=cost.dtype)
+            G = G.at[src_idx].add(g_h).at[dst_idx].add(g_k)
+            H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
+            H = H.at[src_idx, :, src_idx, :].add(H_hh)
+            H = H.at[dst_idx, :, dst_idx, :].add(H_kk)
+            H = H.at[src_idx, :, dst_idx, :].add(H_hk)
+            H = H.at[dst_idx, :, src_idx, :].add(
+                jnp.swapaxes(H_hk, -1, -2))
+            # global reduction over both mesh axes
+            cost = jax.lax.psum(cost, (mesh_mod.EDGE_AXIS,
+                                       mesh_mod.POINT_AXIS))
+            G = jax.lax.psum(G, (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
+            H = jax.lax.psum(H, (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
+            g = G.reshape(F * 6) * free6
+            Hm = H.reshape(F * 6, F * 6)
+            Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+            return cost, g, Hm
+
+        def apply_delta(xs, delta):
+            d = delta.reshape(F, 6) * free[:, None]
+            return jax.vmap(param.boxplus)(xs, d)
+
+        x0 = jax.vmap(param.from_pose7)(fs_rep.poses)
+        xs, _ = lm_mod.lm_solve(x0, build_system, apply_delta, cfg.lm)
+        return jax.vmap(param.to_pose7)(xs)
+
+    poses = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P(mesh_mod.EDGE_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )(fs, edges)
+    return fs.replace(poses=poses)
+
+
+def run_icp_sharded(fs: frameset.FrameSet, cfg: ICPConfig, mesh,
+                    rounds: int = None):
+    """Distributed outer ICP loop (host-driven)."""
+    rounds = cfg.rounds if rounds is None else rounds
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    for _ in range(rounds):
+        fs = sharded_icp_round(fs, edges, cfg, mesh)
+    return fs

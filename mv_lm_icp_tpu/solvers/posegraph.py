@@ -1,0 +1,187 @@
+"""GICP-style pose-graph solver — the reference's g2o comparison path.
+
+TPU-native replacement for src/internal/icp-g2o.cpp: one SE3 vertex per
+frame, one GICP edge per correspondence, Levenberg-Marquardt with
+anisotropic per-correspondence information matrices, and the chi2-monitored
+outer loop.
+
+Information-matrix semantics (g2o ``EdgeGICP::prec0(0.01)``,
+icp-g2o.cpp:119-129): ``makeRot0`` puts the measurement normal in row 2 of
+R0, and ``prec0(e) = R0^T diag(e, e, 1) R0``, which is exactly
+
+    W = n n^T + e (I - n n^T)
+
+— precision 1 along the surface normal, ``e`` = 0.01 in the tangent plane.
+g2o evaluates the error in the destination vertex frame; in our
+global-frame residual r = g_h(p) - g_k(q) the congruent information is
+W_g = R_k W_local R_k^T, i.e. the same formula with the *rotated* normal.
+Point-to-point mode uses identity information (icp-g2o.cpp:67).
+
+The weighted normal equations exploit the rank-1 + scaled-identity
+structure: J^T W J = e J^T J + (1-e) (J^T n)(n^T J) — no 3x3 products per
+correspondence.
+
+Outer loop (multiview, icp-g2o.cpp:261-303): up to 100 rounds of an inner
+LM solve (<=100 iterations), tracking relative chi2 improvement and
+breaking after 6 rounds without improvement (the reference's log message
+says "100 times no impr." but the counter trips at 6 — SURVEY §7.4).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.correspond import Correspondences
+from ..models.frameset import FrameSet
+from ..ops import residuals as res_mod
+from ..ops import se3
+from . import lm as lm_mod
+
+_HI = jax.lax.Precision.HIGHEST
+SE3 = res_mod.SE3
+
+
+def _gicp_terms(r, Jh, Jk, ng, e_prec, wmask, point_to_plane):
+    """Per-edge cost/grad/Hessian blocks under W = nn^T + e(I-nn^T).
+
+    r (N,3), J* (N,3,6), ng (N,3) rotated dst normals, wmask (N,).
+    """
+    if point_to_plane:
+        rn = jnp.sum(r * ng, axis=-1)                      # n.r
+        Wr = e_prec * r + (1.0 - e_prec) * rn[:, None] * ng
+        chi = jnp.sum(r * Wr, axis=-1)
+        Jh_n = jnp.einsum("ni,nij->nj", ng, Jh, precision=_HI)
+        Jk_n = jnp.einsum("ni,nij->nj", ng, Jk, precision=_HI)
+
+        def HtWJ(Ja, Jna, Jb, Jnb):
+            full = jnp.einsum("nij,n,nik->jk", Ja, wmask, Jb, precision=_HI)
+            rank1 = jnp.einsum("nj,n,nk->jk", Jna, wmask, Jnb,
+                               precision=_HI)
+            return e_prec * full + (1.0 - e_prec) * rank1
+
+        g_h = jnp.einsum("nij,ni->j", Jh, wmask[:, None] * Wr,
+                         precision=_HI)
+        g_k = jnp.einsum("nij,ni->j", Jk, wmask[:, None] * Wr,
+                         precision=_HI)
+        H_hh = HtWJ(Jh, Jh_n, Jh, Jh_n)
+        H_hk = HtWJ(Jh, Jh_n, Jk, Jk_n)
+        H_kk = HtWJ(Jk, Jk_n, Jk, Jk_n)
+    else:
+        Wr = r
+        chi = jnp.sum(r * r, axis=-1)
+        g_h = jnp.einsum("nij,ni->j", Jh, wmask[:, None] * Wr,
+                         precision=_HI)
+        g_k = jnp.einsum("nij,ni->j", Jk, wmask[:, None] * Wr,
+                         precision=_HI)
+        H_hh = jnp.einsum("nij,n,nik->jk", Jh, wmask, Jh, precision=_HI)
+        H_hk = jnp.einsum("nij,n,nik->jk", Jh, wmask, Jk, precision=_HI)
+        H_kk = jnp.einsum("nij,n,nik->jk", Jk, wmask, Jk, precision=_HI)
+    cost = 0.5 * jnp.sum(chi * wmask)
+    return cost, g_h, g_k, H_hh, H_hk, H_kk
+
+
+@partial(jax.jit, static_argnames=("point_to_plane", "config"))
+def solve_posegraph_once(fs: FrameSet, edges: jnp.ndarray,
+                         corr: Correspondences, *,
+                         point_to_plane: bool = True,
+                         e_precision: float = 0.01,
+                         config: lm_mod.LMConfig = lm_mod.LMConfig(
+                             max_iterations=100)):
+    """One inner LM solve of the pose graph (g2oOptimizer body,
+    icp-g2o.cpp:176-259). Returns (FrameSet', chi2)."""
+    F = fs.num_frames
+    free = (~fs.fixed).astype(fs.points.dtype)
+    free6 = jnp.repeat(free, 6)
+    src_idx, dst_idx = edges[:, 0], edges[:, 1]
+    p_e = fs.points[src_idx]
+    q_e = jnp.take_along_axis(fs.points[dst_idx], corr.nn_idx[..., None],
+                              axis=1)
+    n_e = jnp.take_along_axis(fs.normals[dst_idx], corr.nn_idx[..., None],
+                              axis=1)
+    vmask = corr.valid.astype(fs.points.dtype)
+
+    def build_system(xs):
+        def edge_terms(e):
+            x_h, x_k = xs[src_idx[e]], xs[dst_idx[e]]
+            r, Jh, Jk = res_mod.residuals_and_jacobians(
+                SE3, "point_to_point", x_h, x_k, p_e[e], q_e[e], None)
+            ng = se3.rotate_only(x_k, n_e[e])
+            return _gicp_terms(r, Jh, Jk, ng, e_precision, vmask[e],
+                               point_to_plane)
+
+        cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
+            edge_terms, jnp.arange(edges.shape[0]))
+        cost = jnp.sum(cost_e)
+        G = jnp.zeros((F, 6), dtype=cost.dtype)
+        G = G.at[src_idx].add(g_h).at[dst_idx].add(g_k)
+        H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
+        H = H.at[src_idx, :, src_idx, :].add(H_hh)
+        H = H.at[dst_idx, :, dst_idx, :].add(H_kk)
+        H = H.at[src_idx, :, dst_idx, :].add(H_hk)
+        H = H.at[dst_idx, :, src_idx, :].add(jnp.swapaxes(H_hk, -1, -2))
+        g = G.reshape(F * 6) * free6
+        Hm = H.reshape(F * 6, F * 6)
+        Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+        return cost, g, Hm
+
+    def apply_delta(xs, delta):
+        d = delta.reshape(F, 6) * free[:, None]
+        return jax.vmap(SE3.boxplus)(xs, d)
+
+    xs, stats = lm_mod.lm_solve(fs.poses, build_system, apply_delta, config)
+    return fs.replace(poses=xs), 2.0 * stats.final_cost
+
+
+def solve_posegraph(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
+                    *, point_to_plane: bool = True,
+                    e_precision: float = 0.01, outer_rounds: int = 100,
+                    inner_iterations: int = 100, stagnant_break: int = 6,
+                    rel_improvement: float = 1e-6, verbose: bool = False):
+    """chi2-monitored pose-graph optimization (g2oOptimizer outer loop,
+    icp-g2o.cpp:261-303). Returns (FrameSet', chi2 history)."""
+    cfg = lm_mod.LMConfig(max_iterations=inner_iterations)
+    history = []
+    last = None
+    stagnant = 0
+    for _ in range(outer_rounds):
+        fs, chi2 = solve_posegraph_once(
+            fs, edges, corr, point_to_plane=point_to_plane,
+            e_precision=e_precision, config=cfg)
+        chi2 = float(chi2)
+        history.append(chi2)
+        if verbose:
+            print(f"posegraph chi2: {chi2:.6g}")
+        if last is not None:
+            impr = (last - chi2) / max(last, 1e-30)
+            stagnant = 0 if impr > rel_improvement else stagnant + 1
+            if stagnant >= stagnant_break:
+                break
+        last = chi2
+    return fs, history
+
+
+@partial(jax.jit, static_argnames=("point_to_plane", "config"))
+def solve_pairwise_gicp(src, dst, nor=None, *, point_to_plane: bool = False,
+                        e_precision: float = 0.01,
+                        config: lm_mod.LMConfig = lm_mod.LMConfig(
+                            max_iterations=300)):
+    """Pairwise g2o equivalent (ICP_G2O::pointToPoint / pointToPlane,
+    icp-g2o.cpp:26-147): dst vertex fixed at identity, src vertex solved
+    with GICP information, <=300 LM iterations. Returns (pose7, stats)."""
+    x_id = jnp.zeros(7, src.dtype).at[3].set(1.0)
+    if nor is None:
+        nor = jnp.zeros_like(src)
+    wmask = jnp.ones(src.shape[0], src.dtype)
+
+    def build_system(x):
+        r, Jh, _ = res_mod.residuals_and_jacobians(
+            SE3, "point_to_point", x, x_id, src, dst, None)
+        cost, g_h, _, H_hh, _, _ = _gicp_terms(
+            r, Jh, jnp.zeros_like(Jh), nor, e_precision, wmask,
+            point_to_plane)
+        return cost, g_h, H_hh
+
+    x, stats = lm_mod.lm_solve(x_id, build_system, SE3.boxplus, config)
+    return x, stats

@@ -1,0 +1,106 @@
+"""CLI smoke tests (CPU, tiny workloads) + timer/checkpoint/export units."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv_lm_icp_tpu.utils import checkpoint, export, metrics
+from mv_lm_icp_tpu.utils.timer import Timer
+from tests.test_multiview import synthetic_frameset
+
+HAVE_SAMPLES = os.path.isdir("/root/reference/samples/Bunny_RealData")
+needs_samples = pytest.mark.skipif(not HAVE_SAMPLES,
+                                   reason="reference samples not mounted")
+
+
+class TestTimer:
+    def test_tic_toc_accumulates(self):
+        t = Timer()
+        t.tic()
+        t.toc("a")
+        t.tic()
+        t.toc("a")
+        assert "a" in t.timings and t.timings["a"] >= 0
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        fs = synthetic_frameset(F=3, N=64)
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save(path, fs, round_idx=7)
+        fs_moved = fs.replace(poses=fs.poses * 0 + 1)
+        fs2, rnd, _ = checkpoint.restore(path, fs_moved)
+        assert rnd == 7
+        np.testing.assert_allclose(np.asarray(fs2.poses),
+                                   np.asarray(fs.poses))
+
+
+class TestExport:
+    def test_xyz_and_ply(self, tmp_path):
+        fs = synthetic_frameset(F=3, N=64)
+        n1 = export.write_xyz(str(tmp_path / "scene.xyz"), fs)
+        assert n1 == 3 * 64
+        data = np.loadtxt(tmp_path / "scene.xyz")
+        assert data.shape == (192, 6)
+        n2 = export.write_ply(str(tmp_path / "scene.ply"), fs,
+                              include_gt=True)
+        assert n2 == 2 * 192
+        head = open(tmp_path / "scene.ply").read(200)
+        assert head.startswith("ply") and "element vertex 384" in head
+
+
+class TestMetrics:
+    def test_summary_format(self):
+        s = metrics.summary([1.0, 2.0, 3.0, 4.0], "vals")
+        assert "Summary of 4 vals" in s and "Med" in s
+
+    def test_alignment_rmse_zero_at_gt(self):
+        fs = synthetic_frameset(F=3, N=64)
+        fs = fs.replace(poses=fs.gt_poses)
+        assert metrics.alignment_rmse(fs) < 1e-12
+
+
+@needs_samples
+class TestCLISmoke:
+    def test_pairwise_cli(self, capsys):
+        from mv_lm_icp_tpu.cli import pairwise
+
+        pairwise.main(["--dtype", "float64", "--no-ceres"])
+        out = capsys.readouterr().out
+        assert "closed form" in out and "diff_tra" in out
+
+    def test_multiview_cli(self, capsys, tmp_path):
+        from mv_lm_icp_tpu.cli import multiview
+
+        ply = str(tmp_path / "out.ply")
+        multiview.main([
+            "--limit", "3", "--step", "2", "--rounds", "2",
+            "--point-stride", "16", "--dtype", "float64",
+            "--no-recomputeNormals", "--export-ply", ply,
+            "--checkpoint", str(tmp_path / "ck.npz"),
+        ])
+        out = capsys.readouterr().out
+        assert "graph adjacency matrix" in out
+        assert "final alignment RMSE" in out
+        assert os.path.exists(ply)
+        # resume path
+        multiview.main([
+            "--limit", "3", "--step", "2", "--rounds", "3",
+            "--point-stride", "16", "--dtype", "float64",
+            "--no-recomputeNormals",
+            "--checkpoint", str(tmp_path / "ck.npz"),
+        ])
+        out2 = capsys.readouterr().out
+        assert "resumed" in out2
+
+    def test_multiview_cli_posegraph(self, capsys):
+        from mv_lm_icp_tpu.cli import multiview
+
+        multiview.main([
+            "--limit", "2", "--step", "2", "--rounds", "1", "--g2o",
+            "--point-stride", "32", "--dtype", "float64",
+            "--no-recomputeNormals",
+        ])
+        out = capsys.readouterr().out
+        assert "chi2" in out

@@ -1,0 +1,57 @@
+"""Pallas NN kernel exactness vs the jnp reference (interpreter mode on the
+CPU test backend; the real-TPU drive happens in verification/bench)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv_lm_icp_tpu.kernels import nn_pallas
+from mv_lm_icp_tpu.ops import nn
+
+
+def rand_cloud(rng, n, scale=1.0):
+    return rng.normal(size=(n, 3)).astype(np.float32) * scale
+
+
+class TestPallasNN:
+    def test_exact_vs_jnp(self):
+        rng = np.random.default_rng(0)
+        q = rand_cloud(rng, 700)
+        r = rand_cloud(rng, 900)
+        valid = rng.random(900) > 0.1
+        idx_p, d2_p = nn_pallas.nn_1(jnp.asarray(q), jnp.asarray(r),
+                                     jnp.asarray(valid), tq=128, td=256)
+        idx_j, d2_j = nn.nn_1(jnp.asarray(q), jnp.asarray(r),
+                              jnp.asarray(valid), chunk=256)
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
+        np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_j),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_self_query(self):
+        rng = np.random.default_rng(1)
+        r = rand_cloud(rng, 300, scale=0.4)  # bunny-like coordinates
+        valid = np.ones(300, bool)
+        idx, d2 = nn_pallas.nn_1(jnp.asarray(r), jnp.asarray(r),
+                                 jnp.asarray(valid), tq=128, td=128)
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(300))
+        np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-9)
+
+    def test_all_invalid_tail_tile(self):
+        """A ref tile of pure padding must never win."""
+        rng = np.random.default_rng(2)
+        q = rand_cloud(rng, 64)
+        r = rand_cloud(rng, 130)           # pads to 256 -> half-tile padding
+        valid = np.ones(130, bool)
+        idx, _ = nn_pallas.nn_1(jnp.asarray(q), jnp.asarray(r),
+                                jnp.asarray(valid), tq=64, td=128)
+        assert (np.asarray(idx) < 130).all()
+
+    def test_matches_on_odd_sizes(self):
+        rng = np.random.default_rng(3)
+        q = rand_cloud(rng, 51)
+        r = rand_cloud(rng, 77)
+        valid = rng.random(77) > 0.3
+        idx_p, _ = nn_pallas.nn_1(jnp.asarray(q), jnp.asarray(r),
+                                  jnp.asarray(valid), tq=64, td=128)
+        idx_j, _ = nn.nn_1(jnp.asarray(q), jnp.asarray(r),
+                           jnp.asarray(valid), chunk=64)
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))

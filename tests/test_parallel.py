@@ -1,0 +1,70 @@
+"""Distributed path: sharded ICP over the 8-device virtual CPU mesh must
+match the single-device pipeline, for every mesh factorization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv_lm_icp_tpu.models import frameset, pipeline
+from mv_lm_icp_tpu.parallel import mesh as mesh_mod
+from mv_lm_icp_tpu.parallel import sharded
+from tests.test_multiview import synthetic_frameset
+
+
+def cfg_for_tests(**kw):
+    base = dict(rounds=2, knn=2, cutoff=1.0, metric="point_to_plane",
+                robust=True, nn_chunk=128)
+    base.update(kw)
+    return pipeline.ICPConfig(**base)
+
+
+class TestMesh:
+    def test_factorization(self):
+        assert mesh_mod._factor(8) in [(4, 2), (8, 1)]
+        assert mesh_mod._factor(1) == (1, 1)
+        e, p = mesh_mod._factor(6)
+        assert e * p == 6 and e >= p
+
+    def test_make_mesh(self):
+        m = mesh_mod.make_mesh()
+        assert m.shape[mesh_mod.EDGE_AXIS] * m.shape[mesh_mod.POINT_AXIS] \
+            == len(jax.devices())
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+class TestShardedEqualsSingle:
+    def test_round_parity(self, shape):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
+        m = mesh_mod.make_mesh(shape=shape)
+        fs_shard = sharded.sharded_icp_round(fs, edges, cfg, m)
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses),
+                                   atol=1e-8)
+
+
+class TestShardedConvergence:
+    def test_multi_round(self):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.04, sigmat=0.02, seed=5)
+        from mv_lm_icp_tpu.utils import metrics
+
+        m = mesh_mod.make_mesh(shape=(4, 2))
+        rmse0 = metrics.alignment_rmse(fs)
+        fs2 = sharded.run_icp_sharded(fs, cfg_for_tests(rounds=6), m)
+        rmse1 = metrics.alignment_rmse(fs2)
+        assert rmse1 < rmse0 * 1e-2, (rmse0, rmse1)
+
+    def test_edge_padding(self):
+        """Edge count not divisible by mesh size: padded with fixed-frame
+        self-loops that must not change the solution."""
+        fs = synthetic_frameset(F=3, N=128, sigma=0.02, sigmat=0.01, seed=6)
+        cfg = cfg_for_tests(rounds=1, nn_chunk=64)
+        edges = frameset.knn_pose_graph(fs.poses, 2)  # E = 6
+        assert edges.shape[0] % 8 != 0
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
+        m = mesh_mod.make_mesh(shape=(8, 1))
+        fs_shard = sharded.sharded_icp_round(fs, edges, cfg, m)
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-8)
