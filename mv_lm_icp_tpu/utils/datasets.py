@@ -124,6 +124,67 @@ def load_single_cloud(path: str = None):
     return io.load_xyz(path)
 
 
+def make_scene_frames(path: str = None, num_frames: int = 8,
+                      overlap: float = 0.5, sigma: float = 0.02,
+                      sigmat: float = 0.01, seed: int = 0,
+                      replicate: int = 1) -> RawFrames:
+    """Synthetic multiview problem from a single scene cloud.
+
+    The 'large synthetic scene sharded across hosts' configuration
+    (BASELINE.json configs[4]): the scene (default: the reference's
+    samples/scene.xyz, 5.4k points) is cut into ``num_frames`` overlapping
+    slabs along its longest axis; each slab becomes a frame stored in its
+    own local coordinates (GT pose = slab's global placement), and the
+    initial estimates are GT perturbed with add_noise (frame 0 exact,
+    mirroring the Bunny initialization, main_multiview.cpp:78-85).
+    ``replicate`` tiles the cloud with jittered copies to scale the
+    problem up for multi-chip benchmarks.
+    """
+    path = path or SCENE_XYZ
+    pts, nor = io.load_xyz(path)
+    if replicate > 1:
+        rng = np.random.default_rng(seed + 1)
+        copies = [pts]
+        for _ in range(replicate - 1):
+            copies.append(pts + rng.normal(scale=1e-3, size=(1, 3)))
+        pts = np.concatenate(copies, axis=0)
+        nor = np.tile(nor, (replicate, 1))
+    axis = int(np.argmax(pts.max(0) - pts.min(0)))
+    order = np.argsort(pts[:, axis], kind="stable")
+    pts, nor = pts[order], nor[order]
+    n = pts.shape[0]
+    # slab windows with the requested fractional overlap
+    width = int(n / (num_frames - (num_frames - 1) * overlap)) \
+        if num_frames > 1 else n
+    stride = max(1, int(width * (1 - overlap)))
+    key = jax.random.PRNGKey(seed)
+    pts_list, nor_list, poses, gts = [], [], [], []
+    for f in range(num_frames):
+        lo = min(f * stride, max(0, n - width))
+        sl = slice(lo, min(lo + width, n))
+        key, kpose, knoise = jax.random.split(key, 3)
+        # camera-like GT trajectory: translation tracks the slab centre so
+        # the kNN pose graph (translation distance) recovers slab
+        # adjacency, exactly as real scan trajectories do; rotation is a
+        # small random attitude change per frame.
+        centre = pts[sl].mean(0)
+        rot = 0.1 * jax.random.normal(kpose, (3,), jnp.float64)
+        tau = jnp.concatenate([jnp.asarray(centre), rot])
+        gt = np.asarray(se3.exp(tau))
+        # frame cloud in local coordinates: g^-1(scene points)
+        inv = se3.inverse(jnp.asarray(gt))
+        pts_list.append(np.asarray(se3.apply(inv, jnp.asarray(pts[sl]))))
+        nor_list.append(np.asarray(se3.rotate_only(inv,
+                                                   jnp.asarray(nor[sl]))))
+        gts.append(gt)
+        if f == 0:
+            poses.append(gt)
+        else:
+            poses.append(np.asarray(se3.add_noise(
+                knoise, jnp.asarray(gt), sigma, sigmat)))
+    return RawFrames(pts_list, nor_list, np.stack(poses), np.stack(gts))
+
+
 def synthetic_pairwise_pose(dtype=jnp.float64) -> jnp.ndarray:
     """The exact synthetic GT pose of main_pairwise.cpp:44-54.
 
