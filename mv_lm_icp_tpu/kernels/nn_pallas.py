@@ -67,6 +67,66 @@ def _kernel(qT_ref, rT_ref, idx_ref, d2_ref, *, td: int):
     d2_ref[...] = best_d.T
 
 
+def _batch_kernel(qT_ref, rT_ref, idx_ref, d2_ref, *, td: int):
+    """(edge, query-tile) grid: refs carry a leading singleton edge dim."""
+    _kernel(qT_ref.at[0], rT_ref.at[0], idx_ref.at[0], d2_ref.at[0], td=td)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "td", "interpret"))
+def nn_1_batch(query: jnp.ndarray, ref: jnp.ndarray,
+               ref_valid: jnp.ndarray, tq: int = 512, td: int = 1024,
+               interpret: bool | None = None):
+    """Batched exact 1-NN: one kernel launch for all E edges.
+
+    Args: query (E, M, 3); ref (E, N, 3); ref_valid (E, N).
+    Returns (idx (E, M) int32, d2 (E, M)).
+
+    This is the all-edges correspondence search of the multiview pipeline
+    (SURVEY §3.4) as a single Pallas grid (E, M/tq) — no per-edge launch
+    overhead, sequential-grid reuse of each edge's VMEM-resident cloud.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    E, M = query.shape[0], query.shape[1]
+    N = ref.shape[1]
+    dtype = jnp.float32
+
+    Mp = -(-M // tq) * tq
+    Np = -(-N // td) * td
+    q = jnp.full((E, Mp, 3), SENTINEL, dtype).at[:, :M].set(
+        query.astype(dtype))
+    r = jnp.full((E, Np, 3), SENTINEL, dtype).at[:, :N].set(
+        jnp.where(ref_valid[..., None], ref, SENTINEL).astype(dtype))
+    qT = jnp.zeros((E, 8, Mp), dtype).at[:, :3].set(
+        jnp.swapaxes(q, 1, 2))
+    rT = jnp.zeros((E, 8, Np), dtype).at[:, :3].set(
+        jnp.swapaxes(r, 1, 2))
+
+    grid = (E, Mp // tq)
+    idx, d2 = pl.pallas_call(
+        functools.partial(_batch_kernel, td=td),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, tq), lambda e, i: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Np), lambda e, i: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tq), lambda e, i: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq), lambda e, i: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, 1, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((E, 1, Mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qT, rT)
+    return idx[:, 0, :M], d2[:, 0, :M]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tq", "td", "interpret"))
 def nn_1(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,

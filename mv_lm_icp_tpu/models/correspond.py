@@ -46,21 +46,31 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
     ``use_pallas`` switches the inner 1-NN to the Pallas TPU kernel.
     """
     cutoff = jnp.asarray(cutoff, fs.points.dtype)
+    src_idx, dst_idx = edges[:, 0], edges[:, 1]
 
     if use_pallas:
+        # single batched kernel launch over every edge at once
         from ..kernels import nn_pallas
+
+        rel = jax.vmap(lambda s, d: se3.compose(
+            se3.inverse(fs.poses[d]), fs.poses[s]))(src_idx, dst_idx)
+        queries = jax.vmap(se3.apply)(rel, fs.points[src_idx])
+        idx, d2 = nn_pallas.nn_1_batch(queries, fs.points[dst_idx],
+                                       fs.valid[dst_idx])
+        dist = jnp.sqrt(d2).astype(fs.points.dtype)
+        ok = jnp.logical_and(dist < cutoff, fs.valid[src_idx])
+        ok = jnp.logical_and(ok, ~fs.fixed[src_idx][:, None])
+        weight = 1.5 * nn.masked_median(dist, ok)
+        return Correspondences(nn_idx=idx, dist=dist, valid=ok,
+                               weight=weight)
 
     def per_edge(edge):
         src, dst = edge[0], edge[1]
         src_pts = fs.points[src]
         rel = se3.compose(se3.inverse(fs.poses[dst]), fs.poses[src])
         query = se3.apply(rel, src_pts)            # src pts in dst frame
-        if use_pallas:
-            idx, d2 = nn_pallas.nn_1(query, fs.points[dst],
-                                     fs.valid[dst])
-        else:
-            idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],
-                              chunk=chunk)
+        idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],
+                          chunk=chunk)
         dist = jnp.sqrt(d2)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src])
         ok = jnp.logical_and(ok, ~fs.fixed[src])

@@ -40,7 +40,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 def make_multiview_system(param, metric: str, fs: FrameSet,
                           edges: jnp.ndarray, corr: Correspondences,
-                          robust: bool, use_autodiff: bool = False):
+                          robust: bool, use_autodiff: bool = False,
+                          vectorize_edges: bool = True):
     """Returns build_system(xs[F, ambient]) -> (cost, g[6F], H[6F, 6F])."""
     F = fs.num_frames
     jac_fn = (res_mod.residuals_and_jacobians_autodiff if use_autodiff
@@ -88,8 +89,14 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
                 H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk, precision=_HI)
             return cost_e, g_h, g_k, H_hh, H_hk, H_kk
 
-        cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
-            edge_terms, jnp.arange(edges.shape[0]))
+        # vmap turns the per-edge einsums into single batched MXU ops;
+        # lax.map is the low-memory fallback for very large edge counts
+        if vectorize_edges:
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.vmap(edge_terms)(
+                jnp.arange(edges.shape[0]))
+        else:
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
+                edge_terms, jnp.arange(edges.shape[0]))
 
         cost = jnp.sum(cost_e)
         G = jnp.zeros((F, 6), dtype=cost.dtype)
@@ -111,12 +118,14 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
 
 
 @partial(jax.jit, static_argnames=("param_name", "metric", "robust",
-                                   "use_autodiff", "config"))
+                                   "use_autodiff", "config",
+                                   "vectorize_edges"))
 def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
                     *, param_name: str = "se3",
                     metric: str = "point_to_plane", robust: bool = True,
                     use_autodiff: bool = False,
-                    config: lm_mod.LMConfig = lm_mod.LMConfig()):
+                    config: lm_mod.LMConfig = lm_mod.LMConfig(),
+                    vectorize_edges: bool = True):
     """One joint LM solve over all frame poses with fixed correspondences.
 
     The equivalent of one ceresOptimizer_* call in the outer ICP loop
@@ -127,7 +136,7 @@ def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
     free = (~fs.fixed).astype(fs.points.dtype)
     x0 = jax.vmap(param.from_pose7)(fs.poses)
     system = make_multiview_system(param, metric, fs, edges, corr, robust,
-                                   use_autodiff)
+                                   use_autodiff, vectorize_edges)
 
     def apply_delta(xs, delta):
         d = delta.reshape(fs.num_frames, 6) * free[:, None]

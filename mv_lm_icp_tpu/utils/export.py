@@ -34,6 +34,55 @@ def write_xyz(path: str, fs, use_gt: bool = False):
     return rows.shape[0]
 
 
+def write_pose_frusta_ply(path: str, fs, scale: float = 0.02):
+    """Camera frusta as PLY line edges: estimates red, ground truth green.
+
+    The headless equivalent of the viewer's pose rendering
+    (Visualize.cpp:243-245 draws GT green next to estimated red;
+    include/frustum.h builds the pyramid geometry).
+    """
+    import jax
+
+    def frustum_vertices(poses):
+        # apex + 4 image-plane corners, in each camera's local frame
+        local = np.array([
+            [0, 0, 0],
+            [-1, -0.75, 1.5], [1, -0.75, 1.5],
+            [1, 0.75, 1.5], [-1, 0.75, 1.5],
+        ]) * scale
+        import jax.numpy as jnp
+
+        return np.asarray(jax.vmap(
+            lambda x: se3.apply(x, jnp.asarray(local)))(poses))
+
+    est = frustum_vertices(fs.poses)
+    gt = frustum_vertices(fs.gt_poses)
+    F = est.shape[0]
+    verts, colors, edges = [], [], []
+    eidx = [(0, 1), (0, 2), (0, 3), (0, 4),
+            (1, 2), (2, 3), (3, 4), (4, 1)]
+    for group, color in ((est, (255, 0, 0)), (gt, (0, 255, 0))):
+        for f in range(F):
+            base = len(verts)
+            verts.extend(group[f])
+            colors.extend([color] * 5)
+            edges.extend([(base + a, base + b) for a, b in eidx])
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n"
+                 f"element vertex {len(verts)}\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 "property uchar red\nproperty uchar green\n"
+                 "property uchar blue\n"
+                 f"element edge {len(edges)}\n"
+                 "property int vertex1\nproperty int vertex2\n"
+                 "end_header\n")
+        for (x, y, z), (r, g, b) in zip(verts, colors):
+            fh.write(f"{x:.6f} {y:.6f} {z:.6f} {r} {g} {b}\n")
+        for a, b in edges:
+            fh.write(f"{a} {b}\n")
+    return len(verts)
+
+
 def write_ply(path: str, fs, include_gt: bool = False):
     """Colored merged cloud: frames ramp red->blue; GT overlay green."""
     pts, _, valid = _global_points(fs, use_gt=False)

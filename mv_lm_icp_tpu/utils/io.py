@@ -55,6 +55,28 @@ def load_xyz(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(data[:, :3]), np.ascontiguousarray(data[:, 3:])
 
 
+def load_ply(path: str) -> np.ndarray:
+    """Minimal ascii-PLY vertex loader -> (N, 3) points.
+
+    Replicates ``loadPLY`` (common.h:189-222; present in the reference but
+    unused by either main): reads ``element vertex N`` from the header and
+    the first three floats of each vertex line.
+    """
+    with open(path, "r") as f:
+        n = 0
+        for line in f:
+            line = line.strip()
+            if line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            if line.startswith("end_header"):
+                break
+        pts = np.empty((n, 3), dtype=np.float64)
+        for i in range(n):
+            vals = f.readline().split()
+            pts[i] = [float(v) for v in vals[:3]]
+    return pts
+
+
 def load_matrix4d(path: str) -> np.ndarray:
     """Load a row-major 4x4 pose matrix (loadMatrix4d, common.h:172-187)."""
     vals = np.fromfile(path, dtype=np.float64, sep=" ")

@@ -104,3 +104,30 @@ class TestCLISmoke:
         ])
         out = capsys.readouterr().out
         assert "chi2" in out
+
+
+class TestPlyLoader:
+    def test_load_ply_roundtrip(self, tmp_path):
+        from mv_lm_icp_tpu.utils import io
+
+        pts = np.random.default_rng(5).normal(size=(20, 3))
+        p = tmp_path / "c.ply"
+        with open(p, "w") as f:
+            f.write("ply\nformat ascii 1.0\n"
+                    f"element vertex {len(pts)}\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    "end_header\n")
+            for row in pts:
+                f.write(f"{row[0]:.8f} {row[1]:.8f} {row[2]:.8f}\n")
+        got = io.load_ply(str(p))
+        np.testing.assert_allclose(got, pts, atol=1e-7)
+
+
+class TestFrustaExport:
+    def test_write_pose_frusta(self, tmp_path):
+        fs = synthetic_frameset(F=3, N=16)
+        path = str(tmp_path / "frusta.ply")
+        n = export.write_pose_frusta_ply(path, fs)
+        assert n == 2 * 3 * 5  # est + gt, 5 verts per frustum
+        head = open(path).read(400)
+        assert "element edge 48" in head
