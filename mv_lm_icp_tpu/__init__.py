@@ -35,3 +35,21 @@ import jax as _jax
 # that can tolerate bf16 (e.g. NN candidate shortlists) opt down explicitly
 # per-op; the Pallas kernels control their own precision regardless.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: first compiles through this rig's
+# remote-compile tunnel take minutes, so cache hits matter more than in a
+# typical JAX install. Opt out with MVICP_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("MVICP_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "MVICP_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "..", ".jax_cache"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:
+        pass

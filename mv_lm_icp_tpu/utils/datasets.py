@@ -53,8 +53,23 @@ def _mat_to_se3(mat: np.ndarray) -> np.ndarray:
 
 def load_raw_frames(dir_path: str, *, limit: int = 40, step: int = 2,
                     fake: bool = False, sigma: float = 0.02,
-                    sigmat: float = 0.01, seed: int = 0) -> RawFrames:
-    """Load a frame directory with the reference's initialization semantics."""
+                    sigmat: float = 0.01, seed: int = 0,
+                    relocalize_with_gt: bool = False) -> RawFrames:
+    """Load a frame directory with the reference's initialization semantics.
+
+    ``relocalize_with_gt`` (dinosaur-style datasets): the shipped dinosaur
+    clouds are ALREADY globally registered (identity poses align
+    consecutive scans to median NN distance ~1 unit, while applying the
+    pose/groundtruth files scatters them by ~15-100 units — they are the
+    original SfM camera matrices, not registering transforms). To obtain a
+    well-posed multiview problem where the groundtruth files are, by
+    construction, the registering poses, each cloud is re-expressed in its
+    own camera frame: ``local_i = gt_i^-1(cloud_i)``. The pose files then
+    act as realistic noisy initial estimates (~1.6 deg rotation offset).
+    The reference loads these files as-is (main_multiview.cpp:74-76) and
+    would scatter the shipped clouds — a latent data-semantics quirk it
+    never hits because its default dir is the Bunny
+    (main_multiview.cpp:39-40, dinosaur commented out)."""
     clouds = io.discover(dir_path, "cloud")
     poses_f = io.discover(dir_path, "pose")
     gt_f = io.discover(dir_path, "groundtruth")
@@ -73,8 +88,16 @@ def load_raw_frames(dir_path: str, *, limit: int = 40, step: int = 2,
         pts_list.append(p)
         nor_list.append(n)
         if have_gt:
-            poses.append(_mat_to_se3(io.load_matrix4d(poses_f[i])))
-            gts.append(_mat_to_se3(io.load_matrix4d(gt_f[i])))
+            pose_i = _mat_to_se3(io.load_matrix4d(poses_f[i]))
+            gt_i = _mat_to_se3(io.load_matrix4d(gt_f[i]))
+            if relocalize_with_gt:
+                inv = se3.inverse(jnp.asarray(gt_i))
+                pts_list[-1] = np.asarray(
+                    se3.apply(inv, jnp.asarray(pts_list[-1])))
+                nor_list[-1] = np.asarray(
+                    se3.rotate_only(inv, jnp.asarray(nor_list[-1])))
+            poses.append(pose_i)
+            gts.append(gt_i)
         else:
             gt = _mat_to_se3(io.load_matrix4d(poses_f[i]))
             gts.append(gt)

@@ -206,3 +206,37 @@ class TestBunnySubset:
         fs2, hist = pipeline.run_icp(fs, cfg)
         rmse1 = metrics.alignment_rmse(fs2)
         assert rmse1 < rmse0 * 0.35, (rmse0, rmse1)
+
+
+@needs_samples
+class TestDinosaur:
+    def test_relocalized_dinosaur_improves(self):
+        """Dinosaur (relocalized, see datasets.load_raw_frames docstring):
+        surface-alignment RMSE must drop substantially; pose-vs-file-GT is
+        not the energy optimum on this ~14%-overlap 2.5D data."""
+        raw = datasets.load_raw_frames(datasets.DINOSAUR_DIR, limit=5,
+                                       step=1, relocalize_with_gt=True)
+        fs = frameset.from_raw(raw, dtype=jnp.float64, point_stride=8,
+                               recompute_normals=True)
+        rmse0 = metrics.alignment_rmse(fs)
+        cfg = pipeline.ICPConfig(rounds=8, knn=2, cutoff=10.0,
+                                 metric="point_to_plane", robust=True,
+                                 nn_chunk=1024)
+        fs2, _ = pipeline.run_icp(fs, cfg)
+        rmse1 = metrics.alignment_rmse(fs2)
+        assert rmse1 < rmse0 * 0.75, (rmse0, rmse1)
+
+    def test_relocalize_makes_gt_register(self):
+        """After relocalization, GT poses align consecutive scans (the
+        overlap region) to ~point-spacing distances."""
+        from mv_lm_icp_tpu.ops import nn, se3 as se3_ops
+
+        raw = datasets.load_raw_frames(datasets.DINOSAUR_DIR, limit=2,
+                                       step=1, relocalize_with_gt=True)
+        ga = se3_ops.apply(jnp.asarray(raw.gt_poses[0]),
+                           jnp.asarray(raw.points[0][::8]))
+        gb = se3_ops.apply(jnp.asarray(raw.gt_poses[1]),
+                           jnp.asarray(raw.points[1][::8]))
+        _, d2 = nn.nn_1(ga, gb, jnp.ones(gb.shape[0], bool), chunk=512)
+        frac_close = float(jnp.mean(jnp.sqrt(d2) < 5.0))
+        assert frac_close > 0.5, frac_close
