@@ -65,6 +65,11 @@ def build_parser():
     p.add_argument("--checkpoint", default=None,
                    help="npz path; saved every round, resumed if present")
     p.add_argument("--platform", default=None)
+    # multi-host (jax.distributed): pass on every host
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -77,6 +82,12 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.coordinator:
+        from ..parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
 
     from ..models import frameset, pipeline
     from ..utils import checkpoint, datasets, export, metrics

@@ -1,0 +1,70 @@
+"""Two-process jax.distributed test: the sharded ICP round runs across a
+multi-process global mesh (4 CPU devices per process -> 8 total) and
+matches the single-process result — the CPU stand-in for the N>=2-host
+TPU configuration (SURVEY §4 'multi-host tests ... via jax.distributed')."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_round_matches_single():
+    port = free_port()
+    procs = []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "_multihost_worker.py"),
+             str(pid), "2", str(port), "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO, env=env))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    poses = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("POSES")][0]
+        poses.append(np.array([float(v) for v in line.split()[1:]]))
+    # both processes see the same replicated result
+    np.testing.assert_allclose(poses[0], poses[1], atol=1e-12)
+
+    # and it matches the single-process sharded path
+    import jax
+
+    from mv_lm_icp_tpu.models import frameset, pipeline
+    from mv_lm_icp_tpu.parallel import mesh as mesh_mod
+    from mv_lm_icp_tpu.parallel import sharded
+    from tests.test_multiview import synthetic_frameset
+
+    fs = synthetic_frameset(F=4, N=128, sigma=0.03, sigmat=0.02, seed=3)
+    cfg = pipeline.ICPConfig(rounds=1, knn=2, cutoff=1.0,
+                             metric="point_to_plane", robust=True,
+                             nn_chunk=64)
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    m = mesh_mod.make_mesh(jax.devices()[:8], shape=(4, 2))
+    fs2 = sharded.sharded_icp_round(fs, edges, cfg, m)
+    np.testing.assert_allclose(poses[0],
+                               np.ravel(np.asarray(fs2.poses)), atol=1e-8)
