@@ -113,6 +113,34 @@ def main():
     t_cf, _, _ = chain_time(cf_chain)
     log(f"closed-form p2pt: {t_cf*1e3:.3f} ms/solve (ref 1 ms)")
 
+    # secondary: full multiview ICP round (8 Bunny frames, Pallas NN,
+    # robust p2pl SE3 — the reference's multiview workload shape) via the
+    # fused on-device outer loop, slope between 2- and 6-round programs.
+    try:
+        from mv_lm_icp_tpu.models import frameset, pipeline
+        from mv_lm_icp_tpu.utils import datasets as ds
+
+        raw = ds.load_raw_frames(ds.BUNNY_DIR, limit=8, step=2,
+                                 sigma=0.02, sigmat=0.01, seed=0)
+        fs = frameset.from_raw(raw, dtype=jnp.float32, point_stride=2)
+
+        def mv_chain(k):
+            cfg = pipeline.ICPConfig(rounds=k, knn=2, cutoff=0.05,
+                                     metric="point_to_plane", robust=True,
+                                     use_pallas=True)
+
+            @jax.jit
+            def run():
+                fs2, costs = pipeline.run_icp_fused(fs, cfg)
+                return jnp.sum(fs2.poses) + costs[-1]
+            return run
+
+        t_mv, _, _ = chain_time(mv_chain, k1=2, k2=6)
+        log(f"multiview ICP round (8 frames x 8.2k pts, pallas NN): "
+            f"{t_mv*1e3:.1f} ms/round")
+    except Exception as e:  # secondary metrics must never break the line
+        log(f"multiview bench skipped: {e}")
+
     result = {
         "metric": "pairwise_p2pl_se3_lm_solve",
         "value": round(t_lm, 6),

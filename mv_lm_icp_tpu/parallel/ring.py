@@ -1,0 +1,191 @@
+"""Frame-sharded multiview ICP with ppermute halo exchange — the
+framework's ring-attention analogue (SURVEY §5 'long-context': each frame
+attends to its k=2 neighbours, forming exactly a ring).
+
+Unlike parallel/sharded.py (FrameSet replicated, edges sharded), here the
+*clouds themselves* are partitioned: device d owns frames
+[d*Floc, (d+1)*Floc) and only ever materializes its own points plus a
+one-frame halo from each ring neighbour, exchanged with
+``lax.ppermute`` — O(N) neighbour traffic per round instead of O(F*N)
+replication. This is the configuration for scenes too large for one
+chip's HBM (BASELINE 'large synthetic scene sharded across hosts').
+
+Topology contract: the frame graph is the ring i <-> i+-1 (mod F) — which
+is precisely the Bunny KNN graph (chain + loop closure, README.md:161-179)
+— and F must divide evenly over the mesh. Each ordered ring edge
+(i -> i+1) and (i -> i-1) contributes its correspondence block; the
+blocked normal equations psum over the frame axis and the tiny gauge-fixed
+[6F, 6F] solve is replicated, exactly like the other distributed paths.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..models import frameset
+from ..models.pipeline import ICPConfig
+from ..ops import nn, residuals as res_mod, robust as robust_mod, se3
+from ..solvers import lm as lm_mod
+
+_HI = jax.lax.Precision.HIGHEST
+AXIS = "frames"
+
+
+def ring_edges(F: int) -> jnp.ndarray:
+    """The ring adjacency as directed edges [(i, i+1), (i, i-1)] mod F."""
+    i = jnp.arange(F, dtype=jnp.int32)
+    nxt = jnp.stack([i, (i + 1) % F], axis=1)
+    prv = jnp.stack([i, (i - 1) % F], axis=1)
+    return jnp.concatenate([nxt, prv], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
+    """One ICP round with frame-sharded clouds and ring halo exchange.
+
+    ``mesh`` must be a 1-axis Mesh named 'frames'; fs.num_frames must be a
+    multiple of its size. Returns the FrameSet with updated poses
+    (replicated; cloud shards stay put).
+    """
+    n_dev = mesh.shape[AXIS]
+    F, N = fs.num_frames, fs.num_points
+    assert F % n_dev == 0, (F, n_dev)
+    floc = F // n_dev
+    param = res_mod.PARAMS[cfg.param_name]
+    metric = cfg.metric
+    loss_fn = robust_mod.soft_l1 if cfg.robust else robust_mod.trivial
+    free = (~fs.fixed).astype(fs.points.dtype)
+    free6 = jnp.repeat(free, 6)
+
+    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]
+    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+
+    def device_fn(pts_loc, nor_loc, val_loc, poses, gt, fixed):
+        # pts_loc: (floc, N, 3) — this device's frames only.
+        didx = jax.lax.axis_index(AXIS)
+        base = didx * floc
+
+        # halo exchange: receive the succeeding device's FIRST frame
+        # (global frame base+floc) and the preceding device's LAST frame
+        # (global frame base-1), each one ppermute.
+        def halo(x):
+            nxt = jax.lax.ppermute(x[0], AXIS, bwd)    # from device d+1
+            prv = jax.lax.ppermute(x[-1], AXIS, fwd)   # from device d-1
+            return prv, nxt
+
+        prv_pts, nxt_pts = halo(pts_loc)
+        prv_nor, nxt_nor = halo(nor_loc)
+        prv_val, nxt_val = halo(val_loc)
+
+        # dst cloud lookup for local frame slot f and direction dir
+        # (0 = +1 ring neighbour, 1 = -1): prefer local frames, fall back
+        # to the halo at the shard boundary.
+        def dst_arrays(f, direction):
+            g = jnp.where(direction == 0, f + 1, f - 1)  # local slot
+            inside = jnp.logical_and(g >= 0, g < floc)
+            g_safe = jnp.clip(g, 0, floc - 1)
+            pick = lambda loc, prv, nxt: jnp.where(
+                inside, loc[g_safe],
+                jnp.where(direction == 0, nxt, prv))
+            return (pick(pts_loc, prv_pts, nxt_pts),
+                    pick(nor_loc, prv_nor, nxt_nor),
+                    pick(val_loc, prv_val, nxt_val))
+
+        def edge_corr(f, direction):
+            src_g = base + f
+            dst_g = jnp.mod(base + jnp.where(direction == 0, f + 1, f - 1),
+                            F)
+            dpts, dnor, dval = dst_arrays(f, direction)
+            rel = se3.compose(se3.inverse(poses[dst_g]), poses[src_g])
+            query = se3.apply(rel, pts_loc[f])
+            idx, d2 = nn.nn_1(query, dpts, dval,
+                              chunk=min(cfg.nn_chunk, N))
+            dist = jnp.sqrt(d2)
+            ok = jnp.logical_and(dist < cfg.cutoff, val_loc[f])
+            ok = jnp.logical_and(ok, ~fixed[src_g])
+            weight = 1.5 * nn.masked_median(dist, ok)
+            return (idx, ok.astype(pts_loc.dtype), weight, dpts[idx],
+                    dnor[idx], src_g, dst_g)
+
+        def all_edges(direction):
+            return jax.lax.map(lambda f: edge_corr(f, direction),
+                               jnp.arange(floc))
+
+        corr0 = all_edges(jnp.int32(0))
+        corr1 = all_edges(jnp.int32(1))
+        corr = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), corr0, corr1)
+        (idxs, oks, weights, q_e, n_e, src_gs, dst_gs) = corr
+        p_e = jnp.concatenate([pts_loc, pts_loc], axis=0)
+
+        def build_system(xs):
+            def edge_terms(e):
+                r, Jh, Jk = res_mod.residuals_and_jacobians(
+                    param, metric, xs[src_gs[e]], xs[dst_gs[e]],
+                    p_e[e], q_e[e], n_e[e])
+                s = (jnp.sum(r * r, -1) if metric == "point_to_point"
+                     else r * r)
+                rho, w = loss_fn(s, weights[e])
+                w = w * oks[e]
+                cost_e = 0.5 * jnp.sum(rho * oks[e])
+                if metric == "point_to_point":
+                    g_h = jnp.einsum("nij,ni->j", Jh, w[:, None] * r,
+                                     precision=_HI)
+                    g_k = jnp.einsum("nij,ni->j", Jk, w[:, None] * r,
+                                     precision=_HI)
+                    H_hh = jnp.einsum("nij,n,nik->jk", Jh, w, Jh,
+                                      precision=_HI)
+                    H_hk = jnp.einsum("nij,n,nik->jk", Jh, w, Jk,
+                                      precision=_HI)
+                    H_kk = jnp.einsum("nij,n,nik->jk", Jk, w, Jk,
+                                      precision=_HI)
+                else:
+                    g_h = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
+                    g_k = jnp.einsum("nj,n->j", Jk, w * r, precision=_HI)
+                    H_hh = jnp.einsum("nj,n,nk->jk", Jh, w, Jh,
+                                      precision=_HI)
+                    H_hk = jnp.einsum("nj,n,nk->jk", Jh, w, Jk,
+                                      precision=_HI)
+                    H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk,
+                                      precision=_HI)
+                return cost_e, g_h, g_k, H_hh, H_hk, H_kk
+
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
+                edge_terms, jnp.arange(2 * floc))
+            cost = jnp.sum(cost_e)
+            G = jnp.zeros((F, 6), dtype=cost.dtype)
+            G = G.at[src_gs].add(g_h).at[dst_gs].add(g_k)
+            H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
+            H = H.at[src_gs, :, src_gs, :].add(H_hh)
+            H = H.at[dst_gs, :, dst_gs, :].add(H_kk)
+            H = H.at[src_gs, :, dst_gs, :].add(H_hk)
+            H = H.at[dst_gs, :, src_gs, :].add(
+                jnp.swapaxes(H_hk, -1, -2))
+            cost = jax.lax.psum(cost, AXIS)
+            G = jax.lax.psum(G, AXIS)
+            H = jax.lax.psum(H, AXIS)
+            g = G.reshape(F * 6) * free6
+            Hm = H.reshape(F * 6, F * 6)
+            Hm = Hm * free6[:, None] * free6[None, :] \
+                + jnp.diag(1.0 - free6)
+            return cost, g, Hm
+
+        def apply_delta(xs, delta):
+            d = delta.reshape(F, 6) * free[:, None]
+            return jax.vmap(param.boxplus)(xs, d)
+
+        x0 = jax.vmap(param.from_pose7)(poses)
+        xs, _ = lm_mod.lm_solve(x0, build_system, apply_delta, cfg.lm)
+        return jax.vmap(param.to_pose7)(xs)
+
+    poses = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(fs.points, fs.normals, fs.valid, fs.poses, fs.gt_poses, fs.fixed)
+    return fs.replace(poses=poses)

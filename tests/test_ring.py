@@ -1,0 +1,65 @@
+"""Frame-sharded ring halo-exchange path: must match the dense
+(replicated) solver on the ring adjacency, for multiple shardings."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import Mesh
+
+from mv_lm_icp_tpu.models import pipeline
+from mv_lm_icp_tpu.parallel import ring
+from mv_lm_icp_tpu.solvers import multiview as mv
+from mv_lm_icp_tpu.models import correspond
+from tests.test_multiview import synthetic_frameset
+
+
+def ring_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), (ring.AXIS,))
+
+
+def cfg_for(**kw):
+    base = dict(rounds=1, knn=2, cutoff=1.0, metric="point_to_plane",
+                robust=True, nn_chunk=64)
+    base.update(kw)
+    return pipeline.ICPConfig(**base)
+
+
+class TestRingEdges:
+    def test_ring_adjacency(self):
+        e = np.asarray(ring.ring_edges(4))
+        assert e.shape == (8, 2)
+        s = set(map(tuple, e))
+        assert (0, 1) in s and (0, 3) in s and (3, 0) in s and (3, 2) in s
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+class TestRingMatchesDense:
+    def test_round_parity(self, n_dev):
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=21)
+        cfg = cfg_for()
+        edges = ring.ring_edges(fs.num_frames)
+        corr = correspond.find_correspondences(fs, edges, cfg.cutoff,
+                                               chunk=cfg.nn_chunk)
+        fs_dense, _ = mv.solve_multiview(
+            fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
+            robust=cfg.robust, config=cfg.lm)
+        fs_ring = ring.ring_icp_round(fs, cfg, ring_mesh(n_dev))
+        np.testing.assert_allclose(np.asarray(fs_ring.poses),
+                                   np.asarray(fs_dense.poses), atol=1e-8)
+
+
+class TestRingConvergence:
+    def test_multi_round(self):
+        from mv_lm_icp_tpu.utils import metrics
+
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=22)
+        rmse0 = metrics.alignment_rmse(fs)
+        mesh = ring_mesh(4)
+        cfg = cfg_for()
+        for _ in range(6):
+            fs = ring.ring_icp_round(fs, cfg, mesh)
+        rmse1 = metrics.alignment_rmse(fs)
+        assert rmse1 < rmse0 * 1e-2, (rmse0, rmse1)
