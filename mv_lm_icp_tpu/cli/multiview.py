@@ -59,6 +59,11 @@ def build_parser():
                    help="distribute over all visible devices")
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas NN kernel")
+    p.add_argument("--fused", action="store_true",
+                   help="run the whole outer loop as one on-device "
+                        "program (max throughput, no per-round logs)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--export-ply", default=None,
                    help="write colored merged cloud after the run")
     p.add_argument("--export-xyz", default=None)
@@ -127,6 +132,23 @@ def main(argv=None):
     print(f"initial alignment RMSE: {metrics.alignment_rmse(fs):.6f}")
     timer = Timer()
 
+    import contextlib
+
+    from ..utils import tracing
+
+    trace_ctx = (tracing.trace(args.trace) if args.trace
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        _run(args, cfg, fs, edges, timer, start_round)
+
+
+def _run(args, cfg, fs, edges, timer, start_round):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import frameset, pipeline
+    from ..utils import checkpoint, export, metrics
+
     if args.g2o:
         from ..models import correspond
         from ..solvers import posegraph
@@ -144,6 +166,16 @@ def main(argv=None):
                   f"rmse: {metrics.alignment_rmse(fs):.6f}")
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
+    elif args.fused:
+        import numpy as np
+
+        timer.tic()
+        fs, costs = pipeline.run_icp_fused(fs, cfg)
+        total = timer.toc("fused outer loop", block_on=fs.poses)
+        print(f"{args.rounds} fused rounds in {total:.3f}s "
+              f"({total/args.rounds*1e3:.1f} ms/round incl. compile)")
+        for i, c in enumerate(np.asarray(costs)):
+            print(f"round: {i}  cost: {float(c):.6g}")
     elif args.sharded and len(jax.devices()) > 1:
         from ..parallel import mesh as mesh_mod
         from ..parallel import sharded

@@ -131,3 +131,28 @@ class TestFrustaExport:
         assert n == 2 * 3 * 5  # est + gt, 5 verts per frustum
         head = open(path).read(400)
         assert "element edge 48" in head
+
+
+@needs_samples
+class TestCLIFusedAndTrace:
+    def test_multiview_cli_fused(self, capsys):
+        from mv_lm_icp_tpu.cli import multiview
+
+        multiview.main([
+            "--limit", "3", "--step", "2", "--rounds", "2", "--fused",
+            "--point-stride", "16", "--dtype", "float64",
+            "--no-recomputeNormals",
+        ])
+        out = capsys.readouterr().out
+        assert "fused rounds" in out and "final alignment RMSE" in out
+
+    def test_multiview_cli_trace(self, capsys, tmp_path):
+        from mv_lm_icp_tpu.cli import multiview
+
+        tdir = str(tmp_path / "trace")
+        multiview.main([
+            "--limit", "2", "--step", "2", "--rounds", "1",
+            "--point-stride", "32", "--dtype", "float64",
+            "--no-recomputeNormals", "--trace", tdir,
+        ])
+        assert os.path.isdir(tdir) and os.listdir(tdir)

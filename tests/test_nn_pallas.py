@@ -14,6 +14,13 @@ def rand_cloud(rng, n, scale=1.0):
 
 class TestPallasNN:
     def test_exact_vs_jnp(self):
+        """Kernel result is at least as close as the jnp path's.
+
+        On float near-ties the two formulations (relative distance in the
+        kernel vs the |q|^2+|r|^2-2qr expansion in jnp) may round to
+        different argmins; the kernel recomputes exact distances for its
+        winners, so wherever it disagrees it must be <= the jnp pick.
+        """
         rng = np.random.default_rng(0)
         q = rand_cloud(rng, 700)
         r = rand_cloud(rng, 900)
@@ -22,9 +29,17 @@ class TestPallasNN:
                                      jnp.asarray(valid), tq=128, td=256)
         idx_j, d2_j = nn.nn_1(jnp.asarray(q), jnp.asarray(r),
                               jnp.asarray(valid), chunk=256)
-        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
-        np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_j),
-                                   rtol=1e-5, atol=1e-6)
+        idx_p, d2_p = np.asarray(idx_p), np.asarray(d2_p)
+        idx_j, d2_j = np.asarray(idx_j), np.asarray(d2_j)
+        agree = idx_p == idx_j
+        assert agree.mean() > 0.99, agree.mean()
+        # exact distance of the true winners per point
+        exact = np.sum((q[:, None] - r[None]) ** 2, axis=-1)
+        exact[:, ~valid] = np.inf
+        ours = exact[np.arange(len(q)), idx_p]
+        theirs = exact[np.arange(len(q)), idx_j]
+        assert (ours <= theirs + 1e-9).all()
+        np.testing.assert_allclose(d2_p, ours, rtol=1e-5, atol=1e-9)
 
     def test_self_query(self):
         rng = np.random.default_rng(1)
