@@ -25,6 +25,18 @@ Layout
 
 __version__ = "0.1.0"
 
+
+def register_pair(*args, **kwargs):
+    from . import api
+
+    return api.register_pair(*args, **kwargs)
+
+
+def register_multiview(*args, **kwargs):
+    from . import api
+
+    return api.register_multiview(*args, **kwargs)
+
 import jax as _jax
 
 # On TPU, f32 matmuls/einsums default to a single bf16 MXU pass (~1e-2
