@@ -59,6 +59,9 @@ def build_parser():
                    help="distribute over all visible devices")
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas NN kernel")
+    p.add_argument("--grid", action="store_true",
+                   help="use the grid-hash NN (O(N*K), exact within "
+                        "cutoff; for very large clouds)")
     p.add_argument("--fused", action="store_true",
                    help="run the whole outer loop as one on-device "
                         "program (max throughput, no per-round logs)")
@@ -118,7 +121,8 @@ def main(argv=None):
         metric=("point_to_plane" if args.point_to_plane
                 else "point_to_point"),
         param_name=param, robust=args.robust,
-        use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas)
+        use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas,
+        use_grid=args.grid)
 
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     print("graph adjacency matrix == block structure")
@@ -156,7 +160,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
         for i in range(start_round, args.rounds):
             timer.tic()
             corr = correspond.find_correspondences(
-                fs, edges, cfg.cutoff, use_pallas=args.pallas)
+                fs, edges, cfg.cutoff, use_pallas=args.pallas,
+                use_grid=args.grid)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             fs, chi2_hist = posegraph.solve_posegraph(
@@ -194,7 +199,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
             timer.tic()
             corr = pipeline.correspond.find_correspondences(
                 fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
-                use_pallas=args.pallas)
+                use_pallas=args.pallas, use_grid=args.grid)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             from ..solvers import multiview as mv

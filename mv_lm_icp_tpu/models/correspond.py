@@ -36,14 +36,18 @@ class Correspondences:
     weight: jnp.ndarray   # [E] — 1.5 * median(valid dists) (robust scale)
 
 
-@partial(jax.jit, static_argnames=("chunk", "use_pallas"))
+@partial(jax.jit, static_argnames=("chunk", "use_pallas", "use_grid"))
 def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
-                         chunk: int = 2048,
-                         use_pallas: bool = False) -> Correspondences:
+                         chunk: int = 2048, use_pallas: bool = False,
+                         use_grid: bool = False) -> Correspondences:
     """All-edges correspondence search (ApproachComponents::
     computeClosestPoints, main_multiview.cpp:119-127).
 
-    ``use_pallas`` switches the inner 1-NN to the Pallas TPU kernel.
+    Backends: default XLA tiled brute force; ``use_pallas`` = the batched
+    Pallas TPU kernel; ``use_grid`` = the O(N*K) grid-hash (cell ==
+    cutoff, exact within cutoff — identical kept-set semantics since the
+    pipeline discards dist >= cutoff anyway, frame.cpp:156-160; the right
+    backend for very large clouds).
     """
     cutoff = jnp.asarray(cutoff, fs.points.dtype)
     src_idx, dst_idx = edges[:, 0], edges[:, 1]
@@ -69,8 +73,15 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         src_pts = fs.points[src]
         rel = se3.compose(se3.inverse(fs.poses[dst]), fs.poses[src])
         query = se3.apply(rel, src_pts)            # src pts in dst frame
-        idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],
-                          chunk=chunk)
+        if use_grid:
+            from ..ops import nn_grid
+
+            idx, d2 = nn_grid.nn_1_grid(query, fs.points[dst],
+                                        fs.valid[dst], cutoff)
+            idx = jnp.maximum(idx, 0)  # -1 rows carry d2=inf -> pruned
+        else:
+            idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],
+                              chunk=chunk)
         dist = jnp.sqrt(d2)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src])
         ok = jnp.logical_and(ok, ~fs.fixed[src])

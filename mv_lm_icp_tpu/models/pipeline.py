@@ -39,13 +39,15 @@ class ICPConfig:
     use_autodiff: bool = False         # FLAGS_sophusSE3_autodiff
     nn_chunk: int = 2048
     use_pallas: bool = False
+    use_grid: bool = False
     lm: lm_mod.LMConfig = lm_mod.LMConfig()
 
 
 def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
     """One (correspondence, solve) alternation. Returns (fs', corr, stats)."""
     corr = correspond.find_correspondences(
-        fs, edges, cfg.cutoff, chunk=cfg.nn_chunk, use_pallas=cfg.use_pallas)
+        fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+        use_pallas=cfg.use_pallas, use_grid=cfg.use_grid)
     fs, stats = mv_mod.solve_multiview(
         fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
         robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm)

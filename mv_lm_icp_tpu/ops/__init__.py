@@ -1,1 +1,2 @@
-from . import quat, se3, so3  # noqa: F401
+from . import (nn, nn_grid, pca, quat, residuals, robust, se3,  # noqa: F401
+               so3)

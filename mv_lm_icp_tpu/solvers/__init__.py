@@ -1,1 +1,1 @@
-from . import closedform  # noqa: F401
+from . import closedform, lm, multiview, posegraph  # noqa: F401

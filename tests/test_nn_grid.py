@@ -70,3 +70,27 @@ class TestGridNN:
                                    jnp.asarray(valid), 0.1,
                                    query_chunk=4)
         assert (np.asarray(idx) < 32).all()
+
+
+class TestGridInPipeline:
+    def test_pipeline_with_grid_backend(self):
+        """Grid-backend correspondences drive the same convergence as the
+        brute-force backend (identical kept-set within cutoff)."""
+        import jax.numpy as jnp
+
+        from mv_lm_icp_tpu.models import frameset, pipeline
+        from mv_lm_icp_tpu.utils import metrics
+        from tests.test_multiview import synthetic_frameset
+
+        fs = synthetic_frameset(F=4, N=256, sigma=0.02, sigmat=0.01,
+                                seed=41)
+        cfg_b = pipeline.ICPConfig(rounds=3, knn=2, cutoff=0.5,
+                                   metric="point_to_point", robust=False,
+                                   nn_chunk=128)
+        cfg_g = pipeline.ICPConfig(rounds=3, knn=2, cutoff=0.5,
+                                   metric="point_to_point", robust=False,
+                                   nn_chunk=128, use_grid=True)
+        fs_b, _ = pipeline.run_icp(fs, cfg_b)
+        fs_g, _ = pipeline.run_icp(fs, cfg_g)
+        np.testing.assert_allclose(np.asarray(fs_g.poses),
+                                   np.asarray(fs_b.poses), atol=1e-6)
