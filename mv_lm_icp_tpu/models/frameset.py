@@ -54,13 +54,18 @@ class FrameSet:
 
 
 def from_raw(raw, dtype=jnp.float32, fix_first: bool = True,
-             recompute_normals: bool = False, pad_multiple: int = 256,
+             recompute_normals: bool = True, pad_multiple: int = 256,
              n_points: Optional[int] = None,
              point_stride: int = 1) -> FrameSet:
     """Build a FrameSet from utils.datasets.RawFrames.
 
     ``recompute_normals`` replicates the FLAGS_recomputeNormals path
     (main_multiview.cpp:68-70): per-point PCA normals from 10 neighbours.
+    It defaults to True like the reference flag — and that default
+    matters: the Bunny_RealData *file* normals are biased enough that the
+    point-to-plane alternation creeps away from ground truth indefinitely
+    (~0.001 RMSE/round, no fixed point), while PCA normals lock it at the
+    dataset's internal-consistency floor (see BENCHMARKS.md).
     ``point_stride`` subsamples points (testing/preview knob; the reference
     has no equivalent — frame stride is ``step`` at load time instead).
     """

@@ -209,6 +209,48 @@ class TestBunnySubset:
 
 
 @needs_samples
+class TestNoCreep:
+    """Regression guards for point-to-plane alternation creep.
+
+    At FULL resolution with the Bunny's shipped *file* normals, the
+    correspondence<->solve alternation started AT ground truth walks away
+    without bound (~0.001 RMSE/round, 0 -> 0.041 over 40 rounds); with
+    PCA-recomputed normals (the reference's FLAGS_recomputeNormals=true
+    default, main_multiview.cpp:47,68-70) it locks at the dataset floor
+    (<= 0.0031). See BENCHMARKS.md. The full-res run is too heavy for the
+    CPU suite, so this guards the two load-bearing pieces: the default
+    actually recomputes normals, and a subsampled GT start SATURATES
+    (bounded drift) instead of walking linearly."""
+
+    def test_default_recomputes_normals(self):
+        raw = datasets.load_raw_frames(datasets.BUNNY_DIR, limit=2, step=2,
+                                       sigma=0.0, sigmat=0.0, seed=0)
+        fs_def = frameset.from_raw(raw, dtype=jnp.float64, point_stride=8)
+        fs_file = frameset.from_raw(raw, dtype=jnp.float64, point_stride=8,
+                                    recompute_normals=False)
+        dn = jnp.abs(fs_def.normals - fs_file.normals).max()
+        assert float(dn) > 0.1  # PCA normals, not the biased file normals
+        norms = jnp.linalg.norm(fs_def.normals, axis=-1)[fs_def.valid]
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-6)
+
+    def test_gt_start_saturates(self):
+        raw = datasets.load_raw_frames(datasets.BUNNY_DIR, limit=4, step=2,
+                                       sigma=0.0, sigmat=0.0, seed=0)
+        fs = frameset.from_raw(raw, dtype=jnp.float64, point_stride=8)
+        cfg = pipeline.ICPConfig(rounds=8, knn=2, cutoff=0.05,
+                                 metric="point_to_plane", robust=True,
+                                 nn_chunk=1024)
+        traj = [float(metrics.alignment_rmse(fs))]
+        fs2, _ = pipeline.run_icp(
+            fs, cfg, callback=lambda i, f, c, s: traj.append(
+                float(metrics.alignment_rmse(f))))
+        # subsampling moves the p2pl optimum ~0.0012 from the file GT;
+        # the alternation must settle there, not keep walking
+        assert traj[-1] < 0.004, traj
+        assert abs(traj[-1] - traj[4]) < 3e-4, traj
+
+
+@needs_samples
 class TestDinosaur:
     def test_relocalized_dinosaur_improves(self):
         """Dinosaur (relocalized, see datasets.load_raw_frames docstring):
