@@ -70,6 +70,9 @@ def build_parser():
     p.add_argument("--export-ply", default=None,
                    help="write colored merged cloud after the run")
     p.add_argument("--export-xyz", default=None)
+    p.add_argument("--snapshot", default=None, metavar="DIR",
+                   help="render a PNG per round into DIR (headless "
+                        "replacement for the viewer's per-round redraw)")
     p.add_argument("--checkpoint", default=None,
                    help="npz path; saved every round, resumed if present")
     p.add_argument("--platform", default=None)
@@ -153,6 +156,17 @@ def _run(args, cfg, fs, edges, timer, start_round):
     from ..models import frameset, pipeline
     from ..utils import checkpoint, export, metrics
 
+    def snap(i, fs_now, weights=None):
+        if args.snapshot:
+            import os as _os
+
+            from ..utils import viz
+
+            viz.render_scene(
+                fs_now, edges=edges, weights=weights,
+                path=_os.path.join(args.snapshot, f"round_{i:03d}.png"),
+                title=f"round {i}")
+
     if args.g2o:
         from ..models import correspond
         from ..solvers import posegraph
@@ -169,6 +183,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
             timer.toc(f"global {i}", block_on=fs.poses)
             print(f"round: {i}  chi2: {chi2_hist[-1]:.6g}  "
                   f"rmse: {metrics.alignment_rmse(fs):.6f}")
+            snap(i, fs, corr.weight)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
     elif args.fused:
@@ -192,6 +207,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
             fs = sharded.sharded_icp_round(fs, edges, cfg, m)
             timer.toc(f"round {i}", block_on=fs.poses)
             print(f"round: {i}  rmse: {metrics.alignment_rmse(fs):.6f}")
+            snap(i, fs)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
     else:
@@ -212,9 +228,11 @@ def _run(args, cfg, fs, edges, timer, start_round):
             print(f"round: {i}  lm_iters: {int(stats.iterations)}  "
                   f"cost: {float(stats.final_cost):.6g}  "
                   f"rmse: {metrics.alignment_rmse(fs):.6f}")
+            snap(i, fs, corr.weight)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
 
+    snap(args.rounds, fs)
     timer.print_all_timings()
     dt, dr = metrics.mean_pose_error(fs.poses, fs.gt_poses)
     print(f"final alignment RMSE: {metrics.alignment_rmse(fs):.6f}")

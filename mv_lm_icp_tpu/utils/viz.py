@@ -1,0 +1,146 @@
+"""Headless scene renderer — PNG snapshots of the registration state.
+
+Replaces the reference's interactive OpenGL viewer (reference:
+src/internal/Visualize.cpp + include/frustum.h; SURVEY §2.1 #11) with
+matplotlib renders of the same draw set, keyed by the same toggles the
+viewer binds to keys (Visualize.cpp:627-688):
+
+- per-frame point clouds under their CURRENT poses, one color per frame
+  (drawFrame, Visualize.cpp:238-278),
+- camera frusta: ground truth green, estimates red (Visualize.cpp:243-245,
+  frustum wireframe from frustum.h:9-101),
+- pose-graph edges between camera centres with per-edge weight labels
+  (drawEdges, Visualize.cpp:412-481),
+- optional normals as short segments (drawNormals, Visualize.cpp:219-236).
+
+Where the viewer's spin()/spinToggle() re-render per ICP round
+(main_multiview.cpp:168), :func:`snapshot_callback` plugs into
+``pipeline.run_icp(callback=...)`` and writes one PNG per round.
+
+Everything is host-side numpy/matplotlib — none of this touches the
+device path. matplotlib is imported lazily so the core library never
+depends on it.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..ops import se3
+
+
+def _require_mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _frustum_segments(pose7: np.ndarray, scale: float):
+    """Wireframe camera frustum for one pose (frustum.h:9-101): apex at the
+    camera centre, 4 rays to a rectangle at depth ``scale`` along +z."""
+    import jax.numpy as jnp
+
+    w, h, d = 0.8 * scale, 0.6 * scale, 1.0 * scale
+    corners = np.asarray(
+        [[-w, -h, d], [w, -h, d], [w, h, d], [-w, h, d]], np.float64)
+    pts = np.asarray(se3.apply(jnp.asarray(pose7),
+                               jnp.asarray(np.vstack([[0, 0, 0], corners]))))
+    apex, quad = pts[0], pts[1:]
+    segs = [(apex, c) for c in quad]
+    segs += [(quad[i], quad[(i + 1) % 4]) for i in range(4)]
+    return segs
+
+
+def render_scene(fs, edges=None, weights=None, *, path: str,
+                 max_points_per_frame: int = 2000, show_gt: bool = True,
+                 show_normals: bool = False, frustum_scale: float = 0.02,
+                 elev: float = -70.0, azim: float = -90.0,
+                 title: Optional[str] = None, dpi: int = 120) -> str:
+    """Render the FrameSet to a PNG. Returns ``path``.
+
+    Args:
+      fs: FrameSet (current poses are drawn; gt_poses as green frusta).
+      edges: optional [E, 2] pose-graph edges (drawn between camera
+        centres, as the viewer's drawEdges).
+      weights: optional [E] per-edge labels (the viewer draws edge
+        weights when toggled, Visualize.cpp:447-473).
+      max_points_per_frame: subsample cap per frame for plot speed.
+      show_normals: draw a sparse normal quiver (key 'n' in the viewer).
+    """
+    plt = _require_mpl()
+    import jax
+
+    pts_g = np.asarray(jax.vmap(se3.apply)(fs.poses, fs.points))
+    nor_g = np.asarray(jax.vmap(se3.rotate_only)(fs.poses, fs.normals))
+    valid = np.asarray(fs.valid)
+    poses = np.asarray(fs.poses)
+    gts = np.asarray(fs.gt_poses)
+    F = pts_g.shape[0]
+
+    fig = plt.figure(figsize=(9, 9))
+    ax = fig.add_subplot(111, projection="3d")
+    cmap = plt.colormaps["turbo"]
+    for f in range(F):
+        p = pts_g[f][valid[f]]
+        if p.shape[0] > max_points_per_frame:
+            sel = np.linspace(0, p.shape[0] - 1, max_points_per_frame,
+                              dtype=np.int64)
+            p = p[sel]
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=0.3,
+                   color=cmap(f / max(F - 1, 1)), depthshade=False)
+        if show_normals:
+            q = pts_g[f][valid[f]][::200]
+            n = nor_g[f][valid[f]][::200] * frustum_scale
+            for a, b in zip(q, q + n):
+                ax.plot(*np.stack([a, b]).T, lw=0.3, color="gray")
+        for seg in _frustum_segments(poses[f], frustum_scale):
+            ax.plot(*np.stack(seg).T, lw=0.8, color="red")
+        if show_gt:
+            for seg in _frustum_segments(gts[f], frustum_scale):
+                ax.plot(*np.stack(seg).T, lw=0.8, color="green")
+
+    if edges is not None:
+        e = np.asarray(edges)
+        centres = poses[:, 4:7]
+        for k in range(e.shape[0]):
+            a, b = centres[e[k, 0]], centres[e[k, 1]]
+            ax.plot(*np.stack([a, b]).T, lw=0.5, color="black", alpha=0.5)
+            if weights is not None:
+                mid = 0.5 * (a + b)
+                ax.text(mid[0], mid[1], mid[2],
+                        f"{float(np.asarray(weights)[k]):.3g}", fontsize=5)
+
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_box_aspect((1, 1, 1))
+    lo, hi = np.percentile(pts_g[valid], [1, 99], axis=0)
+    mid, span = 0.5 * (lo + hi), 0.55 * float((hi - lo).max())
+    ax.set_xlim(mid[0] - span, mid[0] + span)
+    ax.set_ylim(mid[1] - span, mid[1] + span)
+    ax.set_zlim(mid[2] - span, mid[2] + span)
+    if title:
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def snapshot_callback(out_dir: str, edges=None, **render_kwargs):
+    """A ``pipeline.run_icp`` callback writing ``round_NNN.png`` per round
+    — the headless equivalent of the viewer's per-round spinToggle(2)
+    (main_multiview.cpp:168)."""
+
+    def cb(i, fs, corr, stats):
+        render_scene(
+            fs, edges=edges,
+            weights=None if corr is None else corr.weight,
+            path=os.path.join(out_dir, f"round_{i:03d}.png"),
+            title=f"round {i}  cost={float(stats.final_cost):.4g}",
+            **render_kwargs)
+
+    return cb

@@ -50,6 +50,39 @@ class TestExport:
         assert head.startswith("ply") and "element vertex 384" in head
 
 
+class TestViz:
+    def test_render_scene_png(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from mv_lm_icp_tpu.models import frameset
+        from mv_lm_icp_tpu.utils import viz
+
+        fs = synthetic_frameset(F=3, N=64)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        import numpy as _np
+
+        path = viz.render_scene(
+            fs, edges=edges, weights=_np.ones(edges.shape[0]),
+            path=str(tmp_path / "scene.png"), show_normals=True,
+            title="test")
+        assert (tmp_path / "scene.png").stat().st_size > 10_000
+
+    def test_snapshot_callback(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from mv_lm_icp_tpu.models import frameset, pipeline
+        from mv_lm_icp_tpu.utils import viz
+
+        fs = synthetic_frameset(F=3, N=64)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        cfg = pipeline.ICPConfig(rounds=2, knn=2, cutoff=1.0,
+                                 metric="point_to_point", robust=False,
+                                 nn_chunk=64)
+        pipeline.run_icp(fs, cfg,
+                         callback=viz.snapshot_callback(str(tmp_path),
+                                                        edges=edges))
+        assert (tmp_path / "round_000.png").exists()
+        assert (tmp_path / "round_001.png").exists()
+
+
 class TestMetrics:
     def test_summary_format(self):
         s = metrics.summary([1.0, 2.0, 3.0, 4.0], "vals")
