@@ -45,10 +45,21 @@ class RawFrames:
     gt_poses: np.ndarray              # (F, 7) se3 params (ground truth)
 
 
+def _host_cpu():
+    """Context pinning tiny host-side prep math to the local CPU backend.
+
+    In the TPU session every jnp op otherwise dispatches through the
+    device tunnel (~25-800 ms per call, tens of seconds per first
+    compile) — 18 frames of pose conversions and noise injection cost
+    ~74 s that way, ~0.2 s on host CPU."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 def _mat_to_se3(mat: np.ndarray) -> np.ndarray:
     # no explicit dtype: stays f64 when x64 is enabled (CPU tests), f32
     # otherwise (TPU) — avoids the noisy truncation warning either way
-    return np.asarray(se3.from_matrix(jnp.asarray(mat)))
+    with _host_cpu():
+        return np.asarray(se3.from_matrix(jnp.asarray(mat)))
 
 
 def load_raw_frames(dir_path: str, *, limit: int = 40, step: int = 2,
@@ -77,37 +88,38 @@ def load_raw_frames(dir_path: str, *, limit: int = 40, step: int = 2,
         raise FileNotFoundError(f"no cloud* files in {dir_path}")
 
     pts_list, nor_list, poses, gts = [], [], [], []
-    key = jax.random.PRNGKey(seed)
     have_gt = len(gt_f) == len(clouds)
     count = 0
-    for i in range(0, len(clouds), step):
-        if count >= limit:
-            break
-        j = 0 if fake else i
-        p, n = io.load_xyz(clouds[j])
-        pts_list.append(p)
-        nor_list.append(n)
-        if have_gt:
-            pose_i = _mat_to_se3(io.load_matrix4d(poses_f[i]))
-            gt_i = _mat_to_se3(io.load_matrix4d(gt_f[i]))
-            if relocalize_with_gt:
-                inv = se3.inverse(jnp.asarray(gt_i))
-                pts_list[-1] = np.asarray(
-                    se3.apply(inv, jnp.asarray(pts_list[-1])))
-                nor_list[-1] = np.asarray(
-                    se3.rotate_only(inv, jnp.asarray(nor_list[-1])))
-            poses.append(pose_i)
-            gts.append(gt_i)
-        else:
-            gt = _mat_to_se3(io.load_matrix4d(poses_f[i]))
-            gts.append(gt)
-            if i == 0:
-                poses.append(gt)
+    with _host_cpu():
+        key = jax.random.PRNGKey(seed)
+        for i in range(0, len(clouds), step):
+            if count >= limit:
+                break
+            j = 0 if fake else i
+            p, n = io.load_xyz(clouds[j])
+            pts_list.append(p)
+            nor_list.append(n)
+            if have_gt:
+                pose_i = _mat_to_se3(io.load_matrix4d(poses_f[i]))
+                gt_i = _mat_to_se3(io.load_matrix4d(gt_f[i]))
+                if relocalize_with_gt:
+                    inv = se3.inverse(jnp.asarray(gt_i))
+                    pts_list[-1] = np.asarray(
+                        se3.apply(inv, jnp.asarray(pts_list[-1])))
+                    nor_list[-1] = np.asarray(
+                        se3.rotate_only(inv, jnp.asarray(nor_list[-1])))
+                poses.append(pose_i)
+                gts.append(gt_i)
             else:
-                key, sub = jax.random.split(key)
-                poses.append(np.asarray(se3.add_noise(
-                    sub, jnp.asarray(gt), sigma, sigmat)))
-        count += 1
+                gt = _mat_to_se3(io.load_matrix4d(poses_f[i]))
+                gts.append(gt)
+                if i == 0:
+                    poses.append(gt)
+                else:
+                    key, sub = jax.random.split(key)
+                    poses.append(np.asarray(se3.add_noise(
+                        sub, jnp.asarray(gt), sigma, sigmat)))
+            count += 1
     return RawFrames(pts_list, nor_list,
                      np.stack(poses), np.stack(gts))
 
@@ -180,8 +192,16 @@ def make_scene_frames(path: str = None, num_frames: int = 8,
     width = int(n / (num_frames - (num_frames - 1) * overlap)) \
         if num_frames > 1 else n
     stride = max(1, int(width * (1 - overlap)))
-    key = jax.random.PRNGKey(seed)
     pts_list, nor_list, poses, gts = [], [], [], []
+    with _host_cpu():
+        key = jax.random.PRNGKey(seed)
+        return _make_scene_slabs(pts, nor, num_frames, width, stride, n,
+                                 sigma, sigmat, key,
+                                 pts_list, nor_list, poses, gts)
+
+
+def _make_scene_slabs(pts, nor, num_frames, width, stride, n, sigma,
+                      sigmat, key, pts_list, nor_list, poses, gts):
     for f in range(num_frames):
         lo = min(f * stride, max(0, n - width))
         sl = slice(lo, min(lo + width, n))
