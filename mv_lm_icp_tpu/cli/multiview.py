@@ -61,7 +61,12 @@ def build_parser():
                    help="use the Pallas NN kernel")
     p.add_argument("--grid", action="store_true",
                    help="use the grid-hash NN (O(N*K), exact within "
-                        "cutoff; for very large clouds)")
+                        "cutoff; gather-bound on TPU — CPU-parity path)")
+    p.add_argument("--window", type=int, default=None, metavar="W",
+                   help="use the sorted-window NN with W rows per query "
+                        "tile (O(N*W) streaming, exact within cutoff; the "
+                        "large-cloud backend — combine with --pallas for "
+                        "the scalar-prefetch kernel)")
     p.add_argument("--fused", action="store_true",
                    help="run the whole outer loop as one on-device "
                         "program (max throughput, no per-round logs)")
@@ -125,7 +130,8 @@ def main(argv=None):
                 else "point_to_point"),
         param_name=param, robust=args.robust,
         use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas,
-        use_grid=args.grid)
+        use_grid=args.grid, use_window=args.window is not None,
+        window=args.window or 8192)
 
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     print("graph adjacency matrix == block structure")
@@ -174,8 +180,9 @@ def _run(args, cfg, fs, edges, timer, start_round):
         for i in range(start_round, args.rounds):
             timer.tic()
             corr = correspond.find_correspondences(
-                fs, edges, cfg.cutoff, use_pallas=args.pallas,
-                use_grid=args.grid)
+                fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
+                use_grid=cfg.use_grid, use_window=cfg.use_window,
+                window=cfg.window)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             fs, chi2_hist = posegraph.solve_posegraph(
@@ -215,7 +222,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
             timer.tic()
             corr = pipeline.correspond.find_correspondences(
                 fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
-                use_pallas=args.pallas, use_grid=args.grid)
+                use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+                use_window=cfg.use_window, window=cfg.window)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             from ..solvers import multiview as mv

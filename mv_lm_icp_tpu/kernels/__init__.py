@@ -1,1 +1,1 @@
-from . import nn_pallas  # noqa: F401
+from . import nn_pallas, nn_window_pallas  # noqa: F401

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: sorted-window 1-NN with scalar-prefetched starts.
+
+The large-cloud correspondence kernel — the Pallas version of
+:mod:`mv_lm_icp_tpu.ops.nn_window` (see that module for the
+exactness-within-cutoff argument, and SURVEY §7.3.2 for why the KD-tree
+is replaced by sorted windows rather than a gather-based grid hash).
+
+Where the brute-force kernel (kernels/nn_pallas.py) scans EVERY
+reference column for every query tile, this kernel scans only a W-row
+window of the axis-sorted reference cloud around each query tile's own
+sorted position:
+
+- grid = (edges, query_tiles, window_tiles). The third axis streams the
+  window's (1, 1, td) reference blocks through VMEM via the automatic
+  pipeline; a scalar-prefetch array ``starts[e, qtile]`` (in td units)
+  tells the BlockSpec index_map WHERE each tile's window begins — the
+  TPU-native replacement for data-dependent tree traversal.
+- running (min, argmin) lives in VMEM scratch, persisting across the
+  window_tiles grid axis; the output tile is written on the last step.
+- work per query is O(W) instead of O(N): at the large-scene shapes
+  (8 frames x 61k-245k pts, W = 4-8k) that is a 10-60x FLOP cut with
+  the same pure-VPU inner loop as the brute kernel.
+
+Everything here is the kernel + its launch; sorting, start computation,
+coverage masks and index unsorting are XLA-side in ops/nn_window's
+``nn_1_window_batch`` wrapper below.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nn_pallas import SENTINEL
+
+
+def _kernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
+            idx_ref, d2_ref, best_d, best_i, *, td: int):
+    """One (edge, query-tile, window-tile) step.
+
+    q*_ref: (TQ, 1) sorted-query coordinate columns
+    r*_ref: (1, 1, td) the current window block of sorted-ref rows
+    idx_ref: (1, 1, TQ) output argmin (element index into sorted ref)
+    d2_ref: (1, 1, TQ) output exact squared distance of the winner
+    best_d/best_i: (TQ, 1) VMEM scratch carried across window tiles
+    """
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    w = pl.program_id(2)
+
+    @pl.when(w == 0)
+    def _init():
+        best_d[...] = jnp.full_like(best_d[...], jnp.inf)
+        best_i[...] = jnp.zeros_like(best_i[...])
+
+    qx, qy, qz = qx_ref[...], qy_ref[...], qz_ref[...]
+    tq = qx.shape[0]
+    dx = qx - rx_ref[0]                        # (TQ, td)
+    dy = qy - ry_ref[0]
+    dz = qz - rz_ref[0]
+    d2 = dx * dx + dy * dy + dz * dz
+    loc_d = jnp.min(d2, axis=1)[:, None]
+    loc_a = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+    offset = (starts_ref[e, i] + w) * td
+    take = loc_d < best_d[...]
+    best_d[...] = jnp.where(take, loc_d, best_d[...])
+    best_i[...] = jnp.where(take, loc_a + offset, best_i[...])
+
+    @pl.when(w == pl.num_programs(2) - 1)
+    def _flush():
+        idx_ref[0, ...] = best_i[...].T
+        d2_ref[0, ...] = best_d[...].T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tq", "td", "interpret"))
+def nn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
+                     starts_td: jnp.ndarray, window: int = 4096,
+                     tq: int = 512, td: int = 2048,
+                     interpret: bool | None = None):
+    """Launch the window kernel on PRE-SORTED inputs.
+
+    Args:
+      q_sorted: (E, M, 3) queries sorted per edge by the sort axis; padded
+        queries carry SENTINEL coords.
+      ref_sorted: (E, N, 3) references sorted per edge; padded/invalid rows
+        carry SENTINEL coords and sort to the end. N must leave room for
+        any start: starts are pre-clamped to (Npad - window) / td.
+      starts_td: (E, M/tq) int32 window starts in td units (scalar
+        prefetch).
+      window: W rows scanned per query tile (multiple of td).
+
+    Returns idx (E, M) int32 — element index into the SORTED ref.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    E, M = q_sorted.shape[:2]
+    N = ref_sorted.shape[1]
+    assert window % td == 0 and M % tq == 0 and N % td == 0
+    npq = M // tq
+    nw = window // td
+
+    qcols = tuple(q_sorted[..., i].reshape(E * M, 1) for i in range(3))
+    rrows = tuple(ref_sorted[..., i][:, None, :] for i in range(3))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E, npq, nw),
+        in_specs=[pl.BlockSpec((tq, 1), lambda e, i, w, s: (e * npq + i, 0),
+                               memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((1, 1, td), lambda e, i, w, s: (e, 0, s[e, i] + w),
+                        memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec((1, 1, tq), lambda e, i, w, s: (e, 0, i),
+                                memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((tq, 1), jnp.float32),
+                        pltpu.VMEM((tq, 1), jnp.int32)],
+    )
+    idx, d2 = pl.pallas_call(
+        functools.partial(_kernel, td=td),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((E, 1, M), jnp.int32),
+                   jax.ShapeDtypeStruct((E, 1, M), jnp.float32)],
+        interpret=interpret,
+    )(starts_td, *qcols, *rrows)
+    return idx[:, 0, :], d2[:, 0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tq", "td", "interpret"))
+def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
+                      ref_valid: jnp.ndarray, cutoff,
+                      window: int = 8192, tq: int = 512, td: int = 2048,
+                      interpret: bool | None = None):
+    """Batched exact-within-cutoff 1-NN over all edges, windowed kernel.
+
+    Same contract as ops.nn_window.nn_1_window, batched: query (E, M, 3),
+    ref (E, N, 3), ref_valid (E, N) -> (idx (E, M) int32 with -1 for
+    unmatched/unprovable, d2 (E, M) with +inf there).
+
+    Window starts are floored to td-row granularity, so the coverage
+    guarantee is ``window - td`` rows per query tile: size ``window`` at
+    least ``window_shortfall(...) + td`` (rounded up to a td multiple).
+    td=2048 measured fastest on v5e (71 ms for 16 edges x 61k pts at
+    W=4096 vs 107 ms at td=512).
+    """
+    E, M = query.shape[:2]
+    N = ref.shape[1]
+    dtype = jnp.float32
+    cutoff = jnp.asarray(cutoff, dtype)
+    query = query.astype(dtype)
+    ref = ref.astype(dtype)
+
+    # dominant sort axis per edge (largest ref extent)
+    big = jnp.asarray(1e30, dtype)
+    lo3 = jnp.min(jnp.where(ref_valid[..., None], ref, big), axis=1)
+    hi3 = jnp.max(jnp.where(ref_valid[..., None], ref, -big), axis=1)
+    axis = jnp.argmax(hi3 - lo3, axis=-1)                  # (E,)
+    rx = jnp.take_along_axis(ref, axis[:, None, None], axis=2)[..., 0]
+    rx = jnp.where(ref_valid, rx, big)
+    order_r = jnp.argsort(rx, axis=1)                      # (E, N)
+    rx_s = jnp.take_along_axis(rx, order_r, axis=1)
+    ref_s = jnp.take_along_axis(ref, order_r[..., None], axis=1)
+    ref_s = jnp.where((rx_s < 1e29)[..., None], ref_s, SENTINEL)
+
+    qx = jnp.take_along_axis(query, axis[:, None, None], axis=2)[..., 0]
+    order_q = jnp.argsort(qx, axis=1)
+    qx_s = jnp.take_along_axis(qx, order_q, axis=1)
+    q_s = jnp.take_along_axis(query, order_q[..., None], axis=1)
+
+    # pad shapes to kernel granularity
+    Mp = -(-M // tq) * tq
+    W = min(window, -(-N // td) * td)
+    Np = max(-(-N // td) * td, W)
+    q_pad = jnp.full((E, Mp, 3), SENTINEL, dtype).at[:, :M].set(q_s)
+    qx_pad = jnp.full((E, Mp), big, dtype).at[:, :M].set(qx_s)
+    ref_pad = jnp.full((E, Np, 3), SENTINEL, dtype).at[:, :N].set(ref_s)
+    rx_pad = jnp.full((E, Np), big, dtype).at[:, :N].set(rx_s)
+
+    # per query tile: window start (td units) + coverage check
+    tiles = qx_pad.reshape(E, Mp // tq, tq)
+    t_lo = tiles[..., 0] - cutoff                          # sorted: col 0=min
+    t_hi = jnp.max(jnp.where(tiles < 1e29, tiles, -big), axis=-1) + cutoff
+    starts_el = jax.vmap(jnp.searchsorted)(rx_pad, t_lo)   # (E, ntiles)
+    ends_el = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right"))(rx_pad, t_hi)
+    starts_td = jnp.clip(starts_el // td, 0, (Np - W) // td).astype(jnp.int32)
+    covered = (ends_el - starts_td * td) <= W              # (E, ntiles)
+
+    idx_sorted, d2 = nn_window_sorted(q_pad, ref_pad, starts_td, window=W,
+                                      tq=tq, td=td, interpret=interpret)
+    idx_sorted = idx_sorted[:, :M]
+    d2 = d2[:, :M]      # kernel d2 is already the exact f32 distance
+
+    # back to original ref indexing + masks
+    safe = jnp.clip(idx_sorted, 0, N - 1)
+    idx = jnp.take_along_axis(order_r, safe, axis=1)
+    cov_q = jnp.repeat(covered, tq, axis=1)[:, :M]
+    ok = jnp.logical_and(jnp.logical_and(d2 < cutoff * cutoff, cov_q),
+                         idx_sorted < N)
+    idx = jnp.where(ok, idx, -1).astype(jnp.int32)
+    d2 = jnp.where(ok, d2, jnp.inf)
+
+    # unsort queries
+    inv_q = jnp.argsort(order_q, axis=1)
+    return (jnp.take_along_axis(idx, inv_q, axis=1),
+            jnp.take_along_axis(d2, inv_q, axis=1))

@@ -36,31 +36,46 @@ class Correspondences:
     weight: jnp.ndarray   # [E] — 1.5 * median(valid dists) (robust scale)
 
 
-@partial(jax.jit, static_argnames=("chunk", "use_pallas", "use_grid"))
+@partial(jax.jit, static_argnames=("chunk", "use_pallas", "use_grid",
+                                   "grid_k", "use_window", "window"))
 def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
                          chunk: int = 2048, use_pallas: bool = False,
-                         use_grid: bool = False) -> Correspondences:
+                         use_grid: bool = False, grid_k: int = 128,
+                         use_window: bool = False,
+                         window: int = 8192) -> Correspondences:
     """All-edges correspondence search (ApproachComponents::
     computeClosestPoints, main_multiview.cpp:119-127).
 
-    Backends: default XLA tiled brute force; ``use_pallas`` = the batched
-    Pallas TPU kernel; ``use_grid`` = the O(N*K) grid-hash (cell ==
-    cutoff, exact within cutoff — identical kept-set semantics since the
-    pipeline discards dist >= cutoff anyway, frame.cpp:156-160; the right
-    backend for very large clouds).
+    Backends (all exact in the kept set — the pipeline discards
+    dist >= cutoff anyway, frame.cpp:156-160):
+
+    - default: XLA tiled brute force (exact 1-NN);
+    - ``use_pallas``: the batched Pallas TPU kernel (exact 1-NN);
+    - ``use_window``: sorted-window sweep, O(N*W) streaming — the large-
+      cloud backend on TPU (exact within cutoff);
+    - ``use_grid``: O(N*K) grid hash (exact within cutoff; gather-bound
+      on TPU, mainly the CPU/host-parity backend).
     """
     cutoff = jnp.asarray(cutoff, fs.points.dtype)
     src_idx, dst_idx = edges[:, 0], edges[:, 1]
 
     if use_pallas:
         # single batched kernel launch over every edge at once
-        from ..kernels import nn_pallas
-
         rel = jax.vmap(lambda s, d: se3.compose(
             se3.inverse(fs.poses[d]), fs.poses[s]))(src_idx, dst_idx)
         queries = jax.vmap(se3.apply)(rel, fs.points[src_idx])
-        idx, d2 = nn_pallas.nn_1_batch(queries, fs.points[dst_idx],
-                                       fs.valid[dst_idx])
+        if use_window:
+            from ..kernels import nn_window_pallas
+
+            idx, d2 = nn_window_pallas.nn_1_window_batch(
+                queries, fs.points[dst_idx], fs.valid[dst_idx], cutoff,
+                window=window)
+            idx = jnp.maximum(idx, 0)   # -1 rows carry d2=inf -> pruned
+        else:
+            from ..kernels import nn_pallas
+
+            idx, d2 = nn_pallas.nn_1_batch(queries, fs.points[dst_idx],
+                                           fs.valid[dst_idx])
         dist = jnp.sqrt(d2).astype(fs.points.dtype)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src_idx])
         ok = jnp.logical_and(ok, ~fs.fixed[src_idx][:, None])
@@ -73,11 +88,19 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         src_pts = fs.points[src]
         rel = se3.compose(se3.inverse(fs.poses[dst]), fs.poses[src])
         query = se3.apply(rel, src_pts)            # src pts in dst frame
-        if use_grid:
+        if use_window:
+            from ..ops import nn_window
+
+            idx, d2 = nn_window.nn_1_window(query, fs.points[dst],
+                                            fs.valid[dst], cutoff,
+                                            window=window)
+            idx = jnp.maximum(idx, 0)  # -1 rows carry d2=inf -> pruned
+        elif use_grid:
             from ..ops import nn_grid
 
             idx, d2 = nn_grid.nn_1_grid(query, fs.points[dst],
-                                        fs.valid[dst], cutoff)
+                                        fs.valid[dst], cutoff,
+                                        k_per_cell=grid_k)
             idx = jnp.maximum(idx, 0)  # -1 rows carry d2=inf -> pruned
         else:
             idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],

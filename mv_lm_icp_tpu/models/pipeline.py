@@ -40,6 +40,9 @@ class ICPConfig:
     nn_chunk: int = 2048
     use_pallas: bool = False
     use_grid: bool = False
+    grid_k: int = 128                  # grid-hash bucket capacity
+    use_window: bool = False           # sorted-window sweep (large clouds)
+    window: int = 8192                 # sorted-window row count W
     lm: lm_mod.LMConfig = lm_mod.LMConfig()
 
 
@@ -47,7 +50,8 @@ def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
     """One (correspondence, solve) alternation. Returns (fs', corr, stats)."""
     corr = correspond.find_correspondences(
         fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
-        use_pallas=cfg.use_pallas, use_grid=cfg.use_grid)
+        use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+        grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window)
     fs, stats = mv_mod.solve_multiview(
         fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
         robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm)

@@ -1,2 +1,2 @@
-from . import (nn, nn_grid, pca, quat, residuals, robust, se3,  # noqa: F401
-               so3)
+from . import (nn, nn_grid, nn_window, pca, quat, residuals,  # noqa: F401
+               robust, se3, so3)

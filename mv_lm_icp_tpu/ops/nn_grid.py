@@ -48,25 +48,52 @@ def _bucket_of(cells: jnp.ndarray, table_size: int) -> jnp.ndarray:
     return jnp.abs(h).astype(jnp.int32) % table_size
 
 
-@partial(jax.jit, static_argnames=("table_size",))
 def max_occupancy(ref: jnp.ndarray, ref_valid: jnp.ndarray, cell: float,
-                  table_size: int = 8192):
+                  table_size: int | None = None):
     """Largest bucket population for this cloud/cell — validates K."""
+    if table_size is None:
+        table_size = _next_pow2(ref.shape[0])
+    return _max_occupancy(ref, ref_valid, cell, table_size)
+
+
+@partial(jax.jit, static_argnames=("table_size",))
+def _max_occupancy(ref: jnp.ndarray, ref_valid: jnp.ndarray, cell: float,
+                   table_size: int):
     cells = jnp.floor(ref / cell).astype(jnp.int32)
     b = jnp.where(ref_valid, _bucket_of(cells, table_size), table_size)
     counts = jnp.zeros(table_size + 1, jnp.int32).at[b].add(1)
     return jnp.max(counts[:table_size])
 
 
-@partial(jax.jit, static_argnames=("k_per_cell", "table_size",
-                                   "query_chunk"))
+def _next_pow2(n: int) -> int:
+    return 1 << max(10, (n - 1).bit_length())
+
+
 def nn_1_grid(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
-              cell: float, k_per_cell: int = 128, table_size: int = 8192,
-              query_chunk: int = 2048):
+              cell: float, k_per_cell: int = 128,
+              table_size: int | None = None, query_chunk: int | None = None):
     """1-NN exact within ``cell``; (idx (M,), d2 (M,)) with d2=inf beyond.
 
     Cost per query: 27 * k_per_cell candidate distances, independent of N.
+    ``table_size`` defaults to the next power of two >= N — fewer buckets
+    than points piles unrelated cells into one bucket by hash collision
+    and silently raises the occupancy that ``k_per_cell`` must cover.
+    ``query_chunk`` defaults so the (chunk, 27, K, 3) candidate gather
+    stays under ~64 MB.
     """
+    if table_size is None:
+        table_size = _next_pow2(ref.shape[0])
+    if query_chunk is None:
+        query_chunk = max(64, min(2048, (1 << 22) // (27 * k_per_cell)))
+    return _nn_1_grid(query, ref, ref_valid, cell, k_per_cell=k_per_cell,
+                      table_size=table_size, query_chunk=query_chunk)
+
+
+@partial(jax.jit, static_argnames=("k_per_cell", "table_size",
+                                   "query_chunk"))
+def _nn_1_grid(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
+               cell: float, k_per_cell: int, table_size: int,
+               query_chunk: int):
     M, N = query.shape[0], ref.shape[0]
     dtype = ref.dtype
     big = jnp.asarray(jnp.inf, dtype)

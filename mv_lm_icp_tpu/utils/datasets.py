@@ -178,10 +178,19 @@ def make_scene_frames(path: str = None, num_frames: int = 8,
     path = path or SCENE_XYZ
     pts, nor = io.load_xyz(path)
     if replicate > 1:
+        # tile copies in space along the longest axis (constant point
+        # density — jittering copies in place would just multiply every
+        # grid-hash bucket's occupancy) with a small jitter so replicas
+        # aren't bitwise duplicates
         rng = np.random.default_rng(seed + 1)
-        copies = [pts]
-        for _ in range(replicate - 1):
-            copies.append(pts + rng.normal(scale=1e-3, size=(1, 3)))
+        ax = int(np.argmax(pts.max(0) - pts.min(0)))
+        extent = float(pts[:, ax].max() - pts[:, ax].min()) * 1.02
+        copies = []
+        for c in range(replicate):
+            shift = np.zeros(3)
+            shift[ax] = c * extent
+            copies.append(pts + shift
+                          + rng.normal(scale=1e-4, size=(1, 3)))
         pts = np.concatenate(copies, axis=0)
         nor = np.tile(nor, (replicate, 1))
     axis = int(np.argmax(pts.max(0) - pts.min(0)))
