@@ -137,6 +137,27 @@ def main(argv=None):
     print("graph adjacency matrix == block structure")
     print(frameset.adjacency_matrix(edges, fs.num_frames))
 
+    if cfg.use_window:
+        # validate W against the data (at the initial poses): uncovered
+        # query tiles report no correspondence, so an undersized W
+        # silently degrades alignment — auto-raise instead
+        from ..ops import nn_window, se3 as se3_ops
+
+        need = 0
+        for e in range(edges.shape[0]):
+            s, d = int(edges[e, 0]), int(edges[e, 1])
+            rel = se3_ops.compose(se3_ops.inverse(fs.poses[d]), fs.poses[s])
+            q = se3_ops.apply(rel, fs.points[s])
+            need = max(need, int(nn_window.window_shortfall(
+                q, fs.points[d], fs.valid[d], cfg.cutoff)))
+        need = -(-(need + 2048) // 2048) * 2048   # td granularity + margin
+        if cfg.window < need:
+            import dataclasses
+
+            print(f"--window {cfg.window} cannot cover every query tile "
+                  f"on this data (needs ~{need}); raising to {need}")
+            cfg = dataclasses.replace(cfg, window=need)
+
     start_round = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         fs, start_round, _ = checkpoint.restore(args.checkpoint, fs)
@@ -207,6 +228,10 @@ def _run(args, cfg, fs, edges, timer, start_round):
         from ..parallel import mesh as mesh_mod
         from ..parallel import sharded
 
+        if cfg.use_pallas or cfg.use_grid or cfg.use_window:
+            print("note: --sharded uses its own shard_map brute-force "
+                  "correspondence search; --pallas/--grid/--window are "
+                  "ignored on this path")
         m = mesh_mod.make_mesh()
         print(f"mesh: {dict(zip(m.axis_names, m.devices.shape))}")
         for i in range(start_round, args.rounds):
@@ -240,7 +265,10 @@ def _run(args, cfg, fs, edges, timer, start_round):
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
 
-    snap(args.rounds, fs)
+    if args.fused:
+        # the fused branch has no per-round host visibility; render once
+        # at the end (other branches snapshot inside their loops)
+        snap(args.rounds, fs)
     timer.print_all_timings()
     dt, dr = metrics.mean_pose_error(fs.poses, fs.gt_poses)
     print(f"final alignment RMSE: {metrics.alignment_rmse(fs):.6f}")

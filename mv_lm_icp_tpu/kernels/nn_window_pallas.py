@@ -148,6 +148,7 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
     """
     E, M = query.shape[:2]
     N = ref.shape[1]
+    window = -(-window // td) * td        # round up to kernel granularity
     dtype = jnp.float32
     cutoff = jnp.asarray(cutoff, dtype)
     query = query.astype(dtype)

@@ -201,16 +201,15 @@ def make_scene_frames(path: str = None, num_frames: int = 8,
     width = int(n / (num_frames - (num_frames - 1) * overlap)) \
         if num_frames > 1 else n
     stride = max(1, int(width * (1 - overlap)))
-    pts_list, nor_list, poses, gts = [], [], [], []
     with _host_cpu():
-        key = jax.random.PRNGKey(seed)
         return _make_scene_slabs(pts, nor, num_frames, width, stride, n,
-                                 sigma, sigmat, key,
-                                 pts_list, nor_list, poses, gts)
+                                 sigma, sigmat, seed)
 
 
 def _make_scene_slabs(pts, nor, num_frames, width, stride, n, sigma,
-                      sigmat, key, pts_list, nor_list, poses, gts):
+                      sigmat, seed):
+    key = jax.random.PRNGKey(seed)
+    pts_list, nor_list, poses, gts = [], [], [], []
     for f in range(num_frames):
         lo = min(f * stride, max(0, n - width))
         sl = slice(lo, min(lo + width, n))

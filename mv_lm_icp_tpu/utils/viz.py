@@ -42,14 +42,23 @@ def _require_mpl():
 
 def _frustum_segments(pose7: np.ndarray, scale: float):
     """Wireframe camera frustum for one pose (frustum.h:9-101): apex at the
-    camera centre, 4 rays to a rectangle at depth ``scale`` along +z."""
-    import jax.numpy as jnp
+    camera centre, 4 rays to a rectangle at depth ``scale`` along +z.
 
+    Plain numpy — one of these runs per frame per snapshot, and tiny
+    device dispatches cost ~25-800 ms each through the TPU tunnel."""
     w, h, d = 0.8 * scale, 0.6 * scale, 1.0 * scale
     corners = np.asarray(
-        [[-w, -h, d], [w, -h, d], [w, h, d], [-w, h, d]], np.float64)
-    pts = np.asarray(se3.apply(jnp.asarray(pose7),
-                               jnp.asarray(np.vstack([[0, 0, 0], corners]))))
+        [[0, 0, 0], [-w, -h, d], [w, -h, d], [w, h, d], [-w, h, d]],
+        np.float64)
+    q, t = np.asarray(pose7[:4], np.float64), np.asarray(pose7[4:7],
+                                                         np.float64)
+    x, y, z, w4 = q
+    R = np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w4), 2 * (x * z + y * w4)],
+        [2 * (x * y + z * w4), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w4)],
+        [2 * (x * z - y * w4), 2 * (y * z + x * w4), 1 - 2 * (x * x + y * y)],
+    ])
+    pts = corners @ R.T + t
     apex, quad = pts[0], pts[1:]
     segs = [(apex, c) for c in quad]
     segs += [(quad[i], quad[(i + 1) % 4]) for i in range(4)]
@@ -75,8 +84,12 @@ def render_scene(fs, edges=None, weights=None, *, path: str,
     plt = _require_mpl()
     import jax
 
-    pts_g = np.asarray(jax.vmap(se3.apply)(fs.poses, fs.points))
-    nor_g = np.asarray(jax.vmap(se3.rotate_only)(fs.poses, fs.normals))
+    # pin the transform math to host CPU: in a TPU session these little
+    # dispatches otherwise go through the device tunnel per snapshot
+    with jax.default_device(jax.devices("cpu")[0]):
+        pts_g = np.asarray(jax.vmap(se3.apply)(fs.poses, fs.points))
+        nor_g = (np.asarray(jax.vmap(se3.rotate_only)(fs.poses, fs.normals))
+                 if show_normals else None)
     valid = np.asarray(fs.valid)
     poses = np.asarray(fs.poses)
     gts = np.asarray(fs.gt_poses)
