@@ -228,10 +228,10 @@ def _run(args, cfg, fs, edges, timer, start_round):
         from ..parallel import mesh as mesh_mod
         from ..parallel import sharded
 
-        if cfg.use_pallas or cfg.use_grid or cfg.use_window:
-            print("note: --sharded uses its own shard_map brute-force "
-                  "correspondence search; --pallas/--grid/--window are "
-                  "ignored on this path")
+        if cfg.use_grid or cfg.use_window:
+            print("note: --sharded searches correspondences inside "
+                  "shard_map (brute force, or the Pallas kernel with "
+                  "--pallas); --grid/--window are ignored on this path")
         m = mesh_mod.make_mesh()
         print(f"mesh: {dict(zip(m.axis_names, m.devices.shape))}")
         for i in range(start_round, args.rounds):

@@ -85,8 +85,17 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
             rel = se3.compose(se3.inverse(fs_rep.poses[dst]),
                               fs_rep.poses[src])
             query = se3.apply(rel, src_pts)
-            idx, d2 = nn.nn_1(query, fs_rep.points[dst], fs_rep.valid[dst],
-                              chunk=min(cfg.nn_chunk, N))
+            if cfg.use_pallas:
+                # per-device Pallas kernel on this device's point slice
+                from ..kernels import nn_pallas
+
+                idx, d2 = nn_pallas.nn_1(query, fs_rep.points[dst],
+                                         fs_rep.valid[dst])
+                d2 = d2.astype(query.dtype)
+            else:
+                idx, d2 = nn.nn_1(query, fs_rep.points[dst],
+                                  fs_rep.valid[dst],
+                                  chunk=min(cfg.nn_chunk, N))
             dist = jnp.sqrt(d2)
             ok = jnp.logical_and(dist < cfg.cutoff, src_valid)
             ok = jnp.logical_and(ok, ~fs_rep.fixed[src])

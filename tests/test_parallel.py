@@ -45,6 +45,21 @@ class TestShardedEqualsSingle:
                                    atol=1e-8)
 
 
+class TestShardedPallas:
+    def test_pallas_backend_parity(self):
+        """The per-device Pallas NN kernel (interpret mode on CPU) matches
+        the XLA backend inside shard_map."""
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        m = mesh_mod.make_mesh(shape=(4, 2))
+        fs_xla = sharded.sharded_icp_round(fs, edges,
+                                           cfg_for_tests(rounds=1), m)
+        fs_pls = sharded.sharded_icp_round(
+            fs, edges, cfg_for_tests(rounds=1, use_pallas=True), m)
+        np.testing.assert_allclose(np.asarray(fs_pls.poses),
+                                   np.asarray(fs_xla.poses), atol=1e-6)
+
+
 class TestShardedConvergence:
     def test_multi_round(self):
         fs = synthetic_frameset(F=4, N=256, sigma=0.04, sigmat=0.02, seed=5)
