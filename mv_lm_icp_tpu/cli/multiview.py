@@ -67,6 +67,10 @@ def build_parser():
                         "tile (O(N*W) streaming, exact within cutoff; the "
                         "large-cloud backend — combine with --pallas for "
                         "the scalar-prefetch kernel)")
+    p.add_argument("--schur", action="store_true",
+                   help="Schur-eliminate an independent set of frames "
+                        "before the dense solve (Ceres "
+                        "use_explicit_schur_complement equivalent)")
     p.add_argument("--fused", action="store_true",
                    help="run the whole outer loop as one on-device "
                         "program (max throughput, no per-round logs)")
@@ -136,6 +140,13 @@ def main(argv=None):
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     print("graph adjacency matrix == block structure")
     print(frameset.adjacency_matrix(edges, fs.num_frames))
+
+    if args.schur:
+        cfg = pipeline.enable_schur(cfg, fs, edges)
+        import numpy as _np
+
+        print(f"schur: eliminating {int(_np.sum(cfg.schur_elim))} of "
+              f"{fs.num_frames} frames before the dense solve")
 
     if cfg.use_window:
         # validate W against the data (at the initial poses): uncovered

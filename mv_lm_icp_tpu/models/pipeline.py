@@ -43,6 +43,7 @@ class ICPConfig:
     grid_k: int = 128                  # grid-hash bucket capacity
     use_window: bool = False           # sorted-window sweep (large clouds)
     window: int = 8192                 # sorted-window row count W
+    schur_elim: Optional[tuple] = None  # independent-set Schur elimination
     lm: lm_mod.LMConfig = lm_mod.LMConfig()
 
 
@@ -54,8 +55,21 @@ def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
         grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window)
     fs, stats = mv_mod.solve_multiview(
         fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
-        robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm)
+        robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm,
+        schur_elim=cfg.schur_elim)
     return fs, corr, stats
+
+
+def enable_schur(cfg: ICPConfig, fs, edges) -> ICPConfig:
+    """Return cfg with Schur elimination over a maximal independent set
+    of the CONCRETE frame graph (gauge-fixed frames stay kept)."""
+    import numpy as np
+
+    from ..solvers import schur as schur_mod
+
+    elim = schur_mod.independent_set(np.asarray(edges), fs.num_frames,
+                                     keep=np.asarray(fs.fixed))
+    return dataclasses.replace(cfg, schur_elim=tuple(bool(b) for b in elim))
 
 
 def run_icp(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(),

@@ -70,7 +70,8 @@ class LMStats(NamedTuple):
 def lm_solve(x0: jnp.ndarray,
              build_system: Callable,
              apply_delta: Callable,
-             config: LMConfig = LMConfig()):
+             config: LMConfig = LMConfig(),
+             linear_solve: Callable = None):
     """Minimize cost(x) given fused system assembly.
 
     Args:
@@ -79,6 +80,9 @@ def lm_solve(x0: jnp.ndarray,
         the tangent space at x (robust weights folded in by the caller).
       apply_delta: (x, delta (T,)) -> x' — the manifold boxplus.
       config: tolerances/budgets.
+      linear_solve: optional (H_damped, g) -> delta = H⁻¹(−g) replacing
+        the dense Cholesky (e.g. the frame-graph Schur reduction,
+        solvers/schur.py).
 
     Returns:
       (x_final, LMStats). Fully jittable; runs as one lax.while_loop.
@@ -105,10 +109,13 @@ def lm_solve(x0: jnp.ndarray,
         diag = jnp.clip(jnp.diagonal(s.hess),
                         config.min_diagonal, config.max_diagonal)
         H_damped = s.hess + jnp.diag(diag / s.radius)
-        # solve via Cholesky; fall back to lstsq-ish behaviour through
-        # jitter is unnecessary because damping keeps H_damped SPD.
-        L = jnp.linalg.cholesky(H_damped)
-        delta = jax.scipy.linalg.cho_solve((L, True), -s.grad)
+        if linear_solve is not None:
+            delta = linear_solve(H_damped, s.grad)
+        else:
+            # solve via Cholesky; fall back to lstsq-ish behaviour through
+            # jitter is unnecessary because damping keeps H_damped SPD.
+            L = jnp.linalg.cholesky(H_damped)
+            delta = jax.scipy.linalg.cho_solve((L, True), -s.grad)
         solve_failed = ~jnp.all(jnp.isfinite(delta))
         delta = jnp.where(solve_failed, jnp.zeros_like(delta), delta)
 

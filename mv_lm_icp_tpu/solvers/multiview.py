@@ -119,29 +119,45 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
 
 @partial(jax.jit, static_argnames=("param_name", "metric", "robust",
                                    "use_autodiff", "config",
-                                   "vectorize_edges"))
+                                   "vectorize_edges", "schur_elim"))
 def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
                     *, param_name: str = "se3",
                     metric: str = "point_to_plane", robust: bool = True,
                     use_autodiff: bool = False,
                     config: lm_mod.LMConfig = lm_mod.LMConfig(),
-                    vectorize_edges: bool = True):
+                    vectorize_edges: bool = True,
+                    schur_elim: tuple = None):
     """One joint LM solve over all frame poses with fixed correspondences.
 
     The equivalent of one ceresOptimizer_* call in the outer ICP loop
     (main_multiview.cpp:158-164). Returns (FrameSet with updated poses,
     LMStats).
+
+    ``schur_elim``: optional length-F bool tuple (static) marking an
+    independent set of frames to eliminate by Schur complement before
+    the dense factorization (solvers/schur.py — the equivalent of Ceres'
+    use_explicit_schur_complement, icp-ceres.cpp:77). Build it with
+    ``schur.independent_set(edges, F, keep=fixed)``.
     """
     param = res_mod.PARAMS[param_name]
     free = (~fs.fixed).astype(fs.points.dtype)
     x0 = jax.vmap(param.from_pose7)(fs.poses)
     system = make_multiview_system(param, metric, fs, edges, corr, robust,
                                    use_autodiff, vectorize_edges)
+    linear_solve = None
+    if schur_elim is not None:
+        import numpy as np
+
+        from . import schur as schur_mod
+
+        linear_solve = schur_mod.make_schur_solver(
+            np.asarray(schur_elim, bool))
 
     def apply_delta(xs, delta):
         d = delta.reshape(fs.num_frames, 6) * free[:, None]
         return jax.vmap(param.boxplus)(xs, d)
 
-    xs, stats = lm_mod.lm_solve(x0, system, apply_delta, config)
+    xs, stats = lm_mod.lm_solve(x0, system, apply_delta, config,
+                                linear_solve=linear_solve)
     poses = jax.vmap(param.to_pose7)(xs)
     return fs.replace(poses=poses), stats
