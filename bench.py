@@ -132,7 +132,7 @@ def main():
 
             @jax.jit
             def run():
-                fs2, costs = pipeline.run_icp_fused(fs, cfg)
+                fs2, costs, _ = pipeline.run_icp_fused(fs, cfg)
                 return jnp.sum(fs2.poses) + costs[-1]
             return run
 

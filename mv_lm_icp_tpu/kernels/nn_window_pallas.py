@@ -133,12 +133,19 @@ def nn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
 def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
                       ref_valid: jnp.ndarray, cutoff,
                       window: int = 8192, tq: int = 512, td: int = 2048,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      query_valid: jnp.ndarray | None = None):
     """Batched exact-within-cutoff 1-NN over all edges, windowed kernel.
 
     Same contract as ops.nn_window.nn_1_window, batched: query (E, M, 3),
     ref (E, N, 3), ref_valid (E, N) -> (idx (E, M) int32 with -1 for
-    unmatched/unprovable, d2 (E, M) with +inf there).
+    unmatched/unprovable, d2 (E, M) with +inf there, uncovered (E,) int32
+    count of valid queries whose tile's guard interval exceeded W — 0
+    means the within-cutoff exactness proof held for every real query).
+
+    ``query_valid`` (E, M) marks real queries; invalid (padding) rows are
+    moved to the sentinel BEFORE sorting so they can't widen a boundary
+    tile's coverage interval (see ops.nn_window.nn_1_window).
 
     Window starts are floored to td-row granularity, so the coverage
     guarantee is ``window - td`` rows per query tile: size ``window`` at
@@ -167,15 +174,22 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
     ref_s = jnp.where((rx_s < 1e29)[..., None], ref_s, SENTINEL)
 
     qx = jnp.take_along_axis(query, axis[:, None, None], axis=2)[..., 0]
+    if query_valid is not None:
+        qx = jnp.where(query_valid, qx, big)
     order_q = jnp.argsort(qx, axis=1)
     qx_s = jnp.take_along_axis(qx, order_q, axis=1)
     q_s = jnp.take_along_axis(query, order_q[..., None], axis=1)
+    # invalid-query coord sentinel must differ from the invalid-REF
+    # sentinel, else a pad query sits at distance 0 from a pad ref row
+    # and "matches" it
+    q_s = jnp.where((qx_s < 1e29)[..., None], q_s, 2.0 * SENTINEL)
+    qx_s = jnp.where(qx_s < 1e29, qx_s, big)
 
     # pad shapes to kernel granularity
     Mp = -(-M // tq) * tq
     W = min(window, -(-N // td) * td)
     Np = max(-(-N // td) * td, W)
-    q_pad = jnp.full((E, Mp, 3), SENTINEL, dtype).at[:, :M].set(q_s)
+    q_pad = jnp.full((E, Mp, 3), 2.0 * SENTINEL, dtype).at[:, :M].set(q_s)
     qx_pad = jnp.full((E, Mp), big, dtype).at[:, :M].set(qx_s)
     ref_pad = jnp.full((E, Np, 3), SENTINEL, dtype).at[:, :N].set(ref_s)
     rx_pad = jnp.full((E, Np), big, dtype).at[:, :N].set(rx_s)
@@ -189,6 +203,8 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
         lambda a, v: jnp.searchsorted(a, v, side="right"))(rx_pad, t_hi)
     starts_td = jnp.clip(starts_el // td, 0, (Np - W) // td).astype(jnp.int32)
     covered = (ends_el - starts_td * td) <= W              # (E, ntiles)
+    n_real = jnp.sum((tiles < 1e29).astype(jnp.int32), axis=-1)
+    uncovered = jnp.sum(jnp.where(covered, 0, n_real), axis=-1)  # (E,)
 
     idx_sorted, d2 = nn_window_sorted(q_pad, ref_pad, starts_td, window=W,
                                       tq=tq, td=td, interpret=interpret)
@@ -207,4 +223,5 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
     # unsort queries
     inv_q = jnp.argsort(order_q, axis=1)
     return (jnp.take_along_axis(idx, inv_q, axis=1),
-            jnp.take_along_axis(d2, inv_q, axis=1))
+            jnp.take_along_axis(d2, inv_q, axis=1),
+            uncovered)

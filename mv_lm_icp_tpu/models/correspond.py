@@ -34,6 +34,13 @@ class Correspondences:
     dist: jnp.ndarray     # [E, N] — euclidean distance in dst frame
     valid: jnp.ndarray    # [E, N] bool — < cutoff, src valid, src not fixed
     weight: jnp.ndarray   # [E] — 1.5 * median(valid dists) (robust scale)
+    # [E] int32 — real queries whose window tile lost the coverage proof
+    # (sorted-window backend only; always 0 elsewhere). Nonzero means the
+    # configured W silently under-covers at the CURRENT poses and those
+    # queries were reported unmatched — the pipeline surfaces this per
+    # round instead of letting alignment quietly degrade (frame.cpp:156-160
+    # guarantees every point a true NN; this is the masked-shape analogue).
+    uncovered: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("chunk", "use_pallas", "use_grid",
@@ -67,21 +74,22 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         if use_window:
             from ..kernels import nn_window_pallas
 
-            idx, d2 = nn_window_pallas.nn_1_window_batch(
+            idx, d2, unc = nn_window_pallas.nn_1_window_batch(
                 queries, fs.points[dst_idx], fs.valid[dst_idx], cutoff,
-                window=window)
+                window=window, query_valid=fs.valid[src_idx])
             idx = jnp.maximum(idx, 0)   # -1 rows carry d2=inf -> pruned
         else:
             from ..kernels import nn_pallas
 
             idx, d2 = nn_pallas.nn_1_batch(queries, fs.points[dst_idx],
                                            fs.valid[dst_idx])
+            unc = jnp.zeros(edges.shape[0], jnp.int32)
         dist = jnp.sqrt(d2).astype(fs.points.dtype)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src_idx])
         ok = jnp.logical_and(ok, ~fs.fixed[src_idx][:, None])
         weight = 1.5 * nn.masked_median(dist, ok)
         return Correspondences(nn_idx=idx, dist=dist, valid=ok,
-                               weight=weight)
+                               weight=weight, uncovered=unc)
 
     def per_edge(edge):
         src, dst = edge[0], edge[1]
@@ -91,9 +99,10 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         if use_window:
             from ..ops import nn_window
 
-            idx, d2 = nn_window.nn_1_window(query, fs.points[dst],
-                                            fs.valid[dst], cutoff,
-                                            window=window)
+            idx, d2, unc = nn_window.nn_1_window(query, fs.points[dst],
+                                                 fs.valid[dst], cutoff,
+                                                 window=window,
+                                                 query_valid=fs.valid[src])
             idx = jnp.maximum(idx, 0)  # -1 rows carry d2=inf -> pruned
         elif use_grid:
             from ..ops import nn_grid
@@ -105,11 +114,14 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         else:
             idx, d2 = nn.nn_1(query, fs.points[dst], fs.valid[dst],
                               chunk=chunk)
+        if not use_window:
+            unc = jnp.zeros((), jnp.int32)
         dist = jnp.sqrt(d2)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src])
         ok = jnp.logical_and(ok, ~fs.fixed[src])
         weight = 1.5 * nn.masked_median(dist, ok)
-        return idx, dist, ok, weight
+        return idx, dist, ok, weight, unc
 
-    idx, dist, ok, weight = jax.lax.map(per_edge, edges)
-    return Correspondences(nn_idx=idx, dist=dist, valid=ok, weight=weight)
+    idx, dist, ok, weight, unc = jax.lax.map(per_edge, edges)
+    return Correspondences(nn_idx=idx, dist=dist, valid=ok, weight=weight,
+                           uncovered=unc)

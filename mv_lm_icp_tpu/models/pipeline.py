@@ -83,11 +83,24 @@ def run_icp(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(),
     history: List[dict] = []
     for i in range(cfg.rounds):
         fs, corr, stats = icp_round(fs, edges, cfg)
+        uncovered = int(jnp.sum(corr.uncovered))
+        if uncovered:
+            # poses moved enough that W no longer covers some query tiles
+            # (sorted-window backend): those queries were dropped, which
+            # silently degrades alignment — be loud about it. Callers can
+            # re-run with a larger cfg.window (the CLI auto-raises).
+            import warnings
+
+            warnings.warn(
+                f"icp round {i}: {uncovered} queries lost window coverage "
+                f"(window={cfg.window} too small at current poses); "
+                "raise cfg.window", stacklevel=2)
         entry = dict(
             round=i,
             lm_iterations=int(stats.iterations),
             cost=float(stats.final_cost),
             matched=int(jnp.sum(corr.valid)),
+            uncovered=uncovered,
         )
         history.append(entry)
         if callback is not None:
@@ -101,15 +114,20 @@ def run_icp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig()):
 
     The graph is built once from the initial poses (the reference also
     builds it once before the loop, main_multiview.cpp:142). Returns
-    (fs_final, per-round cost array).
+    (fs_final, per-round cost array, per-round uncovered-query counts —
+    nonzero entries mean the sorted-window backend lost coverage that
+    round and cfg.window must be raised; always 0 on other backends).
     """
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
 
     def body(i, carry):
-        fs, costs = carry
+        fs, costs, unc = carry
         fs, corr, stats = icp_round(fs, edges, cfg)
-        return fs, costs.at[i].set(stats.final_cost)
+        return (fs, costs.at[i].set(stats.final_cost),
+                unc.at[i].set(jnp.sum(corr.uncovered)))
 
     costs0 = jnp.zeros(cfg.rounds, dtype=fs.points.dtype)
-    fs, costs = jax.lax.fori_loop(0, cfg.rounds, body, (fs, costs0))
-    return fs, costs
+    unc0 = jnp.zeros(cfg.rounds, dtype=jnp.int32)
+    fs, costs, unc = jax.lax.fori_loop(0, cfg.rounds, body,
+                                       (fs, costs0, unc0))
+    return fs, costs, unc

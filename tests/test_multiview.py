@@ -185,7 +185,7 @@ class TestICPLoop:
                                  metric="point_to_point", robust=False,
                                  nn_chunk=256)
         fs_host, _ = pipeline.run_icp(fs, cfg)
-        fs_fused, costs = pipeline.run_icp_fused(fs, cfg)
+        fs_fused, costs, _ = pipeline.run_icp_fused(fs, cfg)
         np.testing.assert_allclose(np.asarray(fs_host.poses),
                                    np.asarray(fs_fused.poses), atol=1e-10)
         assert costs.shape == (3,)
