@@ -142,37 +142,30 @@ def main(argv=None):
     print(frameset.adjacency_matrix(edges, fs.num_frames))
 
     if args.schur:
-        cfg = pipeline.enable_schur(cfg, fs, edges)
-        import numpy as _np
+        if args.g2o:
+            print("note: --schur is ignored with --g2o (the pose-graph "
+                  "chi2 loop always uses the dense solve)")
+        else:
+            cfg = pipeline.enable_schur(cfg, fs, edges)
+            import numpy as _np
 
-        print(f"schur: eliminating {int(_np.sum(cfg.schur_elim))} of "
-              f"{fs.num_frames} frames before the dense solve")
-
-    if cfg.use_window:
-        # validate W against the data (at the initial poses): uncovered
-        # query tiles report no correspondence, so an undersized W
-        # silently degrades alignment — auto-raise instead
-        from ..ops import nn_window, se3 as se3_ops
-
-        need = 0
-        for e in range(edges.shape[0]):
-            s, d = int(edges[e, 0]), int(edges[e, 1])
-            rel = se3_ops.compose(se3_ops.inverse(fs.poses[d]), fs.poses[s])
-            q = se3_ops.apply(rel, fs.points[s])
-            need = max(need, int(nn_window.window_shortfall(
-                q, fs.points[d], fs.valid[d], cfg.cutoff)))
-        need = -(-(need + 2048) // 2048) * 2048   # td granularity + margin
-        if cfg.window < need:
-            import dataclasses
-
-            print(f"--window {cfg.window} cannot cover every query tile "
-                  f"on this data (needs ~{need}); raising to {need}")
-            cfg = dataclasses.replace(cfg, window=need)
+            print(f"schur: eliminating {int(_np.sum(cfg.schur_elim))} of "
+                  f"{fs.num_frames} frames before the dense solve")
 
     start_round = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         fs, start_round, _ = checkpoint.restore(args.checkpoint, fs)
         print(f"resumed from {args.checkpoint} at round {start_round}")
+
+    if cfg.use_window:
+        # validate W against the data at the STARTING poses (post-restore —
+        # a resumed run must validate against the poses it will search
+        # from): uncovered query tiles report no correspondence, so an
+        # undersized W silently degrades alignment — auto-raise instead.
+        # Poses keep moving during the run; every round additionally
+        # reports its live uncovered count (Correspondences.uncovered) and
+        # the host loop re-raises W if coverage breaks mid-run.
+        cfg = _autoraise_window(cfg, fs, edges)
 
     print(f"initial alignment RMSE: {metrics.alignment_rmse(fs):.6f}")
     timer = Timer()
@@ -185,6 +178,28 @@ def main(argv=None):
                  else contextlib.nullcontext())
     with trace_ctx:
         _run(args, cfg, fs, edges, timer, start_round)
+
+
+def _autoraise_window(cfg, fs, edges, floor: int = 0):
+    """Return cfg with window W >= what the data needs at fs.poses."""
+    from ..ops import nn_window, se3 as se3_ops
+
+    need = floor
+    for e in range(edges.shape[0]):
+        s, d = int(edges[e, 0]), int(edges[e, 1])
+        rel = se3_ops.compose(se3_ops.inverse(fs.poses[d]), fs.poses[s])
+        q = se3_ops.apply(rel, fs.points[s])
+        need = max(need, int(nn_window.window_shortfall(
+            q, fs.points[d], fs.valid[d], cfg.cutoff,
+            query_valid=fs.valid[s])))
+    need = -(-(need + 2048) // 2048) * 2048   # td granularity + margin
+    if cfg.window < need:
+        import dataclasses
+
+        print(f"--window {cfg.window} cannot cover every query tile "
+              f"on this data (needs ~{need}); raising to {need}")
+        cfg = dataclasses.replace(cfg, window=need)
+    return cfg
 
 
 def _run(args, cfg, fs, edges, timer, start_round):
@@ -215,12 +230,23 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
                 use_grid=cfg.use_grid, use_window=cfg.use_window,
                 window=cfg.window)
+            if cfg.use_window and int(jnp.sum(corr.uncovered)):
+                print(f"round {i}: {int(jnp.sum(corr.uncovered))} queries "
+                      f"lost window coverage; re-sizing W")
+                cfg = _autoraise_window(cfg, fs, edges,
+                                        floor=cfg.window + 2048)
+                corr = correspond.find_correspondences(
+                    fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
+                    use_grid=cfg.use_grid, use_window=cfg.use_window,
+                    window=cfg.window)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
-            fs, chi2_hist = posegraph.solve_posegraph(
+            fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
                 fs, edges, corr, point_to_plane=args.point_to_plane)
             timer.toc(f"global {i}", block_on=fs.poses)
-            print(f"round: {i}  chi2: {chi2_hist[-1]:.6g}  "
+            last_chi2 = float(chi2_hist[int(g2o_rounds) - 1])
+            print(f"round: {i}  chi2: {last_chi2:.6g} "
+                  f"({int(g2o_rounds)} g2o rounds)  "
                   f"rmse: {metrics.alignment_rmse(fs):.6f}")
             snap(i, fs, corr.weight)
             if args.checkpoint:
@@ -229,27 +255,43 @@ def _run(args, cfg, fs, edges, timer, start_round):
         import numpy as np
 
         timer.tic()
-        fs, costs = pipeline.run_icp_fused(fs, cfg)
+        fs, costs, unc = pipeline.run_icp_fused(fs, cfg)
         total = timer.toc("fused outer loop", block_on=fs.poses)
         print(f"{args.rounds} fused rounds in {total:.3f}s "
               f"({total/args.rounds*1e3:.1f} ms/round incl. compile)")
+        unc = np.asarray(unc)
         for i, c in enumerate(np.asarray(costs)):
-            print(f"round: {i}  cost: {float(c):.6g}")
+            extra = (f"  UNCOVERED: {int(unc[i])} queries lost window "
+                     "coverage" if unc[i] else "")
+            print(f"round: {i}  cost: {float(c):.6g}{extra}")
+        if unc.any():
+            print(f"WARNING: window={cfg.window} lost coverage mid-run "
+                  f"(max {int(unc.max())} queries/round) — results "
+                  "dropped those correspondences; re-run with a larger "
+                  "--window")
     elif args.sharded and len(jax.devices()) > 1:
         from ..parallel import mesh as mesh_mod
         from ..parallel import sharded
 
-        if cfg.use_grid or cfg.use_window:
-            print("note: --sharded searches correspondences inside "
-                  "shard_map (brute force, or the Pallas kernel with "
-                  "--pallas); --grid/--window are ignored on this path")
+        if cfg.use_grid:
+            print("note: --grid is ignored under --sharded (brute force, "
+                  "--window, or the Pallas kernels run inside shard_map)")
+        if cfg.schur_elim is not None:
+            print("note: --schur on --sharded eliminates inside each "
+                  "device's replicated solve (same reduced system)")
         m = mesh_mod.make_mesh()
         print(f"mesh: {dict(zip(m.axis_names, m.devices.shape))}")
         for i in range(start_round, args.rounds):
             timer.tic()
-            fs = sharded.sharded_icp_round(fs, edges, cfg, m)
+            fs, unc = sharded.sharded_icp_round(fs, edges, cfg, m)
             timer.toc(f"round {i}", block_on=fs.poses)
-            print(f"round: {i}  rmse: {metrics.alignment_rmse(fs):.6f}")
+            extra = ""
+            if cfg.use_window and int(unc):
+                extra = (f"  UNCOVERED: {int(unc)} queries — raising W")
+                cfg = _autoraise_window(cfg, fs, edges,
+                                        floor=cfg.window + 2048)
+            print(f"round: {i}  rmse: {metrics.alignment_rmse(fs):.6f}"
+                  f"{extra}")
             snap(i, fs)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
@@ -260,6 +302,17 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
                 use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
                 use_window=cfg.use_window, window=cfg.window)
+            if cfg.use_window and int(jnp.sum(corr.uncovered)):
+                # poses drifted past W's coverage: recover loudly —
+                # re-size W at the CURRENT poses and redo the search
+                print(f"round {i}: {int(jnp.sum(corr.uncovered))} queries "
+                      f"lost window coverage; re-sizing W")
+                cfg = _autoraise_window(cfg, fs, edges,
+                                        floor=cfg.window + 2048)
+                corr = pipeline.correspond.find_correspondences(
+                    fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+                    use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+                    use_window=cfg.use_window, window=cfg.window)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             from ..solvers import multiview as mv

@@ -48,8 +48,9 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
     """One ICP round with frame-sharded clouds and ring halo exchange.
 
     ``mesh`` must be a 1-axis Mesh named 'frames'; fs.num_frames must be a
-    multiple of its size. Returns the FrameSet with updated poses
-    (replicated; cloud shards stay put).
+    multiple of its size. Returns (FrameSet with updated poses
+    (replicated; cloud shards stay put), uncovered int32 — valid queries
+    that lost the window-coverage proof; 0 on the brute backend).
     """
     n_dev = mesh.shape[AXIS]
     F, N = fs.num_frames, fs.num_points
@@ -102,14 +103,25 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
             dpts, dnor, dval = dst_arrays(f, direction)
             rel = se3.compose(se3.inverse(poses[dst_g]), poses[src_g])
             query = se3.apply(rel, pts_loc[f])
-            idx, d2 = nn.nn_1(query, dpts, dval,
-                              chunk=min(cfg.nn_chunk, N))
+            if cfg.use_window:
+                # sorted-window sweep on the halo'd neighbour cloud — the
+                # large-scene backend also runs frame-sharded
+                from ..ops import nn_window
+
+                idx, d2, unc = nn_window.nn_1_window(
+                    query, dpts, dval, cfg.cutoff, window=cfg.window,
+                    query_valid=val_loc[f])
+                idx = jnp.maximum(idx, 0)
+            else:
+                idx, d2 = nn.nn_1(query, dpts, dval,
+                                  chunk=min(cfg.nn_chunk, N))
+                unc = jnp.zeros((), jnp.int32)
             dist = jnp.sqrt(d2)
             ok = jnp.logical_and(dist < cfg.cutoff, val_loc[f])
             ok = jnp.logical_and(ok, ~fixed[src_g])
             weight = 1.5 * nn.masked_median(dist, ok)
             return (idx, ok.astype(pts_loc.dtype), weight, dpts[idx],
-                    dnor[idx], src_g, dst_g)
+                    dnor[idx], src_g, dst_g, unc)
 
         def all_edges(direction):
             return jax.lax.map(lambda f: edge_corr(f, direction),
@@ -119,7 +131,8 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
         corr1 = all_edges(jnp.int32(1))
         corr = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b], axis=0), corr0, corr1)
-        (idxs, oks, weights, q_e, n_e, src_gs, dst_gs) = corr
+        (idxs, oks, weights, q_e, n_e, src_gs, dst_gs, uncs) = corr
+        uncovered = jax.lax.psum(jnp.sum(uncs), AXIS)
         p_e = jnp.concatenate([pts_loc, pts_loc], axis=0)
 
         def build_system(xs):
@@ -178,14 +191,24 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
             d = delta.reshape(F, 6) * free[:, None]
             return jax.vmap(param.boxplus)(xs, d)
 
-        x0 = jax.vmap(param.from_pose7)(poses)
-        xs, _ = lm_mod.lm_solve(x0, build_system, apply_delta, cfg.lm)
-        return jax.vmap(param.to_pose7)(xs)
+        linear_solve = None
+        if cfg.schur_elim is not None:
+            import numpy as np
 
-    poses = shard_map(
+            from ..solvers import schur as schur_mod
+
+            linear_solve = schur_mod.make_schur_solver(
+                np.asarray(cfg.schur_elim, bool))
+
+        x0 = jax.vmap(param.from_pose7)(poses)
+        xs, _ = lm_mod.lm_solve(x0, build_system, apply_delta, cfg.lm,
+                                linear_solve=linear_solve)
+        return jax.vmap(param.to_pose7)(xs), uncovered
+
+    poses, uncovered = shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )(fs.points, fs.normals, fs.valid, fs.poses, fs.gt_poses, fs.fixed)
-    return fs.replace(poses=poses)
+    return fs.replace(poses=poses), uncovered

@@ -55,7 +55,14 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
 
     FrameSet is replicated (frames are small relative to HBM; the sharded
     work is the O(E * N^2) correspondence search and O(E * N) assembly).
-    Returns the FrameSet with updated poses (replicated).
+    All four NN backends run under the mesh — brute XLA, brute Pallas,
+    sorted-window XLA, and the sorted-window Pallas kernel (the
+    large-scene path, frame.cpp:91-185 at scale): each device searches
+    only its point slice of its edge slice.
+
+    Returns (FrameSet with updated poses (replicated), uncovered int32 —
+    total valid queries that lost the window-coverage proof this round;
+    always 0 on the non-window backends).
     """
     param = res_mod.PARAMS[cfg.param_name]
     metric = cfg.metric
@@ -75,8 +82,9 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
         pidx = jax.lax.axis_index(mesh_mod.POINT_AXIS)
         nloc = N // n_point
         start = pidx * nloc
+        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
 
-        def edge_corr(edge):
+        def edge_query(edge):
             src, dst = edge[0], edge[1]
             src_pts = jax.lax.dynamic_slice_in_dim(
                 fs_rep.points[src], start, nloc, axis=0)
@@ -84,33 +92,59 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
                 fs_rep.valid[src], start, nloc, axis=0)
             rel = se3.compose(se3.inverse(fs_rep.poses[dst]),
                               fs_rep.poses[src])
-            query = se3.apply(rel, src_pts)
-            if cfg.use_pallas:
-                # per-device Pallas kernel on this device's point slice
-                from ..kernels import nn_pallas
+            return se3.apply(rel, src_pts), src_valid
 
-                idx, d2 = nn_pallas.nn_1(query, fs_rep.points[dst],
-                                         fs_rep.valid[dst])
-                d2 = d2.astype(query.dtype)
-            else:
-                idx, d2 = nn.nn_1(query, fs_rep.points[dst],
-                                  fs_rep.valid[dst],
-                                  chunk=min(cfg.nn_chunk, N))
-            dist = jnp.sqrt(d2)
-            ok = jnp.logical_and(dist < cfg.cutoff, src_valid)
-            ok = jnp.logical_and(ok, ~fs_rep.fixed[src])
-            # robust scale needs the whole edge's distances: gather the
-            # point-axis shards (nloc * n_point = N values)
-            dist_all = jax.lax.all_gather(
-                dist, mesh_mod.POINT_AXIS, tiled=True)
-            ok_all = jax.lax.all_gather(
-                ok, mesh_mod.POINT_AXIS, tiled=True)
-            weight = 1.5 * nn.masked_median(dist_all, ok_all)
-            return idx, dist, ok, weight, start
+        queries, src_valid = jax.vmap(edge_query)(edges_loc)  # (El, nloc, 3)
 
-        idxs, dists, oks, weights, starts = jax.lax.map(edge_corr, edges_loc)
+        if cfg.use_window and cfg.use_pallas:
+            from ..kernels import nn_window_pallas
 
-        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
+            idxs, d2s, unc = nn_window_pallas.nn_1_window_batch(
+                queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx],
+                cfg.cutoff, window=cfg.window, query_valid=src_valid)
+            idxs = jnp.maximum(idxs, 0)   # -1 rows carry d2=inf -> pruned
+            d2s = d2s.astype(queries.dtype)
+        elif cfg.use_window:
+            from ..ops import nn_window
+
+            def edge_window(args):
+                q, qv, dst = args
+                idx, d2, u = nn_window.nn_1_window(
+                    q, fs_rep.points[dst], fs_rep.valid[dst], cfg.cutoff,
+                    window=cfg.window, query_valid=qv)
+                return jnp.maximum(idx, 0), d2, u
+
+            idxs, d2s, unc = jax.lax.map(
+                edge_window, (queries, src_valid, dst_idx))
+        elif cfg.use_pallas:
+            from ..kernels import nn_pallas
+
+            idxs, d2s = nn_pallas.nn_1_batch(
+                queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx])
+            d2s = d2s.astype(queries.dtype)
+            unc = jnp.zeros((), jnp.int32)
+        else:
+            def edge_brute(args):
+                q, dst = args
+                return nn.nn_1(q, fs_rep.points[dst], fs_rep.valid[dst],
+                               chunk=min(cfg.nn_chunk, N))
+
+            idxs, d2s = jax.lax.map(edge_brute, (queries, dst_idx))
+            unc = jnp.zeros((), jnp.int32)
+
+        dists = jnp.sqrt(d2s)
+        oks = jnp.logical_and(dists < cfg.cutoff, src_valid)
+        oks = jnp.logical_and(oks, ~fs_rep.fixed[src_idx][:, None])
+        # robust scale needs each whole edge's distances: gather the
+        # point-axis shards (nloc * n_point = N values per edge)
+        dist_all = jax.lax.all_gather(
+            dists, mesh_mod.POINT_AXIS, tiled=True, axis=1)
+        ok_all = jax.lax.all_gather(
+            oks, mesh_mod.POINT_AXIS, tiled=True, axis=1)
+        weights = 1.5 * nn.masked_median(dist_all, ok_all)
+        uncovered = jax.lax.psum(jnp.sum(unc),
+                                 (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
+        starts = jnp.full(edges_loc.shape[0], start, jnp.int32)
 
         def build_system(xs):
             def edge_terms(e):
@@ -169,17 +203,27 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
             d = delta.reshape(F, 6) * free[:, None]
             return jax.vmap(param.boxplus)(xs, d)
 
-        x0 = jax.vmap(param.from_pose7)(fs_rep.poses)
-        xs, _ = lm_mod.lm_solve(x0, build_system, apply_delta, cfg.lm)
-        return jax.vmap(param.to_pose7)(xs)
+        linear_solve = None
+        if cfg.schur_elim is not None:
+            import numpy as np
 
-    poses = shard_map(
+            from ..solvers import schur as schur_mod
+
+            linear_solve = schur_mod.make_schur_solver(
+                np.asarray(cfg.schur_elim, bool))
+
+        x0 = jax.vmap(param.from_pose7)(fs_rep.poses)
+        xs, _ = lm_mod.lm_solve(x0, build_system, apply_delta, cfg.lm,
+                                linear_solve=linear_solve)
+        return jax.vmap(param.to_pose7)(xs), uncovered
+
+    poses, uncovered = shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P(mesh_mod.EDGE_AXIS)),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )(fs, edges)
-    return fs.replace(poses=poses)
+    return fs.replace(poses=poses), uncovered
 
 
 def run_icp_sharded(fs: frameset.FrameSet, cfg: ICPConfig, mesh,
@@ -187,6 +231,13 @@ def run_icp_sharded(fs: frameset.FrameSet, cfg: ICPConfig, mesh,
     """Distributed outer ICP loop (host-driven)."""
     rounds = cfg.rounds if rounds is None else rounds
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
-    for _ in range(rounds):
-        fs = sharded_icp_round(fs, edges, cfg, mesh)
+    for i in range(rounds):
+        fs, uncovered = sharded_icp_round(fs, edges, cfg, mesh)
+        if cfg.use_window and int(uncovered):
+            import warnings
+
+            warnings.warn(
+                f"sharded icp round {i}: {int(uncovered)} queries lost "
+                f"window coverage (window={cfg.window}); raise cfg.window",
+                stacklevel=2)
     return fs

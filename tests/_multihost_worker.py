@@ -48,7 +48,7 @@ def main():
     mesh = multihost.global_mesh()
     fs_g = multihost.replicate(fs, mesh)
     edges_g = multihost.shard_edges(edges_local, mesh)
-    fs2 = sharded.sharded_icp_round(fs_g, edges_g, cfg, mesh)
+    fs2, _ = sharded.sharded_icp_round(fs_g, edges_g, cfg, mesh)
     poses = multihost.fetch_replicated(fs2.poses)
     print("POSES", " ".join(f"{v:.12e}" for v in np.ravel(poses)))
 

@@ -65,6 +65,6 @@ def test_two_process_round_matches_single():
                              nn_chunk=64)
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     m = mesh_mod.make_mesh(jax.devices()[:8], shape=(4, 2))
-    fs2 = sharded.sharded_icp_round(fs, edges, cfg, m)
+    fs2, _ = sharded.sharded_icp_round(fs, edges, cfg, m)
     np.testing.assert_allclose(poses[0],
                                np.ravel(np.asarray(fs2.poses)), atol=1e-8)

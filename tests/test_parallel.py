@@ -39,7 +39,7 @@ class TestShardedEqualsSingle:
         edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
         fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
         m = mesh_mod.make_mesh(shape=shape)
-        fs_shard = sharded.sharded_icp_round(fs, edges, cfg, m)
+        fs_shard, _ = sharded.sharded_icp_round(fs, edges, cfg, m)
         np.testing.assert_allclose(np.asarray(fs_shard.poses),
                                    np.asarray(fs_single.poses),
                                    atol=1e-8)
@@ -52,9 +52,9 @@ class TestShardedPallas:
         fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
         edges = frameset.knn_pose_graph(fs.poses, 2)
         m = mesh_mod.make_mesh(shape=(4, 2))
-        fs_xla = sharded.sharded_icp_round(fs, edges,
-                                           cfg_for_tests(rounds=1), m)
-        fs_pls = sharded.sharded_icp_round(
+        fs_xla, _ = sharded.sharded_icp_round(fs, edges,
+                                              cfg_for_tests(rounds=1), m)
+        fs_pls, _ = sharded.sharded_icp_round(
             fs, edges, cfg_for_tests(rounds=1, use_pallas=True), m)
         np.testing.assert_allclose(np.asarray(fs_pls.poses),
                                    np.asarray(fs_xla.poses), atol=1e-6)
@@ -80,6 +80,48 @@ class TestShardedConvergence:
         assert edges.shape[0] % 8 != 0
         fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
         m = mesh_mod.make_mesh(shape=(8, 1))
-        fs_shard = sharded.sharded_icp_round(fs, edges, cfg, m)
+        fs_shard, _ = sharded.sharded_icp_round(fs, edges, cfg, m)
         np.testing.assert_allclose(np.asarray(fs_shard.poses),
                                    np.asarray(fs_single.poses), atol=1e-8)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+class TestShardedWindow:
+    """Sorted-window NN under shard_map (both XLA and Pallas variants)
+    must match the single-device window pipeline — the large-sharded-scene
+    configuration's correspondence path (frame.cpp:91-185 at scale)."""
+
+    def test_window_xla_parity(self, shape):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1, use_window=True, window=256)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
+        m = mesh_mod.make_mesh(shape=shape)
+        fs_shard, unc = sharded.sharded_icp_round(fs, edges, cfg, m)
+        assert int(unc) == 0
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-8)
+
+    def test_window_pallas_parity(self, shape):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1, use_window=True, window=256,
+                            use_pallas=True)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        # single-device reference: the plain XLA window backend
+        cfg_ref = cfg_for_tests(rounds=1, use_window=True, window=256)
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg_ref)
+        m = mesh_mod.make_mesh(shape=shape)
+        fs_shard, unc = sharded.sharded_icp_round(fs, edges, cfg, m)
+        assert int(unc) == 0
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-6)
+
+    def test_window_too_small_is_loud(self, shape):
+        """Shrinking W until coverage breaks must raise the uncovered
+        counter, never silently degrade (frame.cpp:156-160 contract)."""
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1, use_window=True, window=16)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        m = mesh_mod.make_mesh(shape=shape)
+        _, unc = sharded.sharded_icp_round(fs, edges, cfg, m)
+        assert int(unc) > 0

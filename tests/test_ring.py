@@ -45,7 +45,7 @@ class TestRingMatchesDense:
         fs_dense, _ = mv.solve_multiview(
             fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
             robust=cfg.robust, config=cfg.lm)
-        fs_ring = ring.ring_icp_round(fs, cfg, ring_mesh(n_dev))
+        fs_ring, _ = ring.ring_icp_round(fs, cfg, ring_mesh(n_dev))
         np.testing.assert_allclose(np.asarray(fs_ring.poses),
                                    np.asarray(fs_dense.poses), atol=1e-8)
 
@@ -60,6 +60,35 @@ class TestRingConvergence:
         mesh = ring_mesh(4)
         cfg = cfg_for()
         for _ in range(6):
-            fs = ring.ring_icp_round(fs, cfg, mesh)
+            fs, _ = ring.ring_icp_round(fs, cfg, mesh)
         rmse1 = metrics.alignment_rmse(fs)
         assert rmse1 < rmse0 * 1e-2, (rmse0, rmse1)
+
+
+class TestRingWindow:
+    """Sorted-window NN on the frame-sharded ring path."""
+
+    def test_window_matches_brute_ring(self):
+        from tests.test_multiview import synthetic_frameset
+
+        fs = synthetic_frameset(F=8, N=256, sigma=0.02, sigmat=0.01, seed=2)
+        mesh = ring_mesh(4)
+        cfg_b = pipeline.ICPConfig(rounds=1, cutoff=1.0, robust=True,
+                                   nn_chunk=256)
+        cfg_w = pipeline.ICPConfig(rounds=1, cutoff=1.0, robust=True,
+                                   nn_chunk=256, use_window=True,
+                                   window=256)
+        fs_b, _ = ring.ring_icp_round(fs, cfg_b, mesh)
+        fs_w, unc = ring.ring_icp_round(fs, cfg_w, mesh)
+        assert int(unc) == 0
+        np.testing.assert_allclose(np.asarray(fs_w.poses),
+                                   np.asarray(fs_b.poses), atol=1e-8)
+
+    def test_window_too_small_is_loud(self):
+        from tests.test_multiview import synthetic_frameset
+
+        fs = synthetic_frameset(F=8, N=256, sigma=0.02, sigmat=0.01, seed=2)
+        cfg = pipeline.ICPConfig(rounds=1, cutoff=1.0, robust=True,
+                                 nn_chunk=256, use_window=True, window=16)
+        _, unc = ring.ring_icp_round(fs, cfg, ring_mesh(4))
+        assert int(unc) > 0
