@@ -136,3 +136,103 @@ class TestPCA:
         normals, _ = pca.recompute_normals(pts, valid, k=5, chunk=64)
         np.testing.assert_allclose(np.asarray(normals[32:]),
                                    np.tile([0, 0, -1.0], (32, 1)))
+
+
+class TestKnnWindow:
+    """Sorted-window k-NN (the scalable getNeighbours replacement,
+    frame.cpp:208-242) vs the exact brute-force knn."""
+
+    def test_full_window_equals_brute(self):
+        from mv_lm_icp_tpu.ops import nn_window
+
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(rng.normal(size=(600, 3)))
+        valid = jnp.ones(600, bool)
+        bi, bd = nn.knn(pts, pts, valid, k=10, chunk=256)
+        wi, wd, ex = nn_window.knn_window(pts, pts, valid, k=10,
+                                          window=600, query_chunk=128)
+        assert np.asarray(ex).all()
+        np.testing.assert_allclose(np.asarray(wd), np.asarray(bd),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(bi))
+
+    def test_certified_rows_match_brute(self):
+        from mv_lm_icp_tpu.ops import nn_window
+
+        rng = np.random.default_rng(8)
+        pts = jnp.asarray(rng.normal(size=(800, 3)))
+        valid = jnp.ones(800, bool)
+        bi, bd = nn.knn(pts, pts, valid, k=10, chunk=256)
+        wi, wd, ex = nn_window.knn_window(pts, pts, valid, k=10,
+                                          window=448, query_chunk=64)
+        ex = np.asarray(ex)
+        # a volumetric gaussian cloud is the worst case for the sorted-
+        # window sweep (real scan SURFACES certify far better per row);
+        # W=448 certifies >90% of N=800 here
+        assert ex.mean() > 0.9
+        np.testing.assert_array_equal(np.asarray(wi)[ex],
+                                      np.asarray(bi)[ex])
+        np.testing.assert_allclose(np.asarray(wd)[ex],
+                                   np.asarray(bd)[ex], rtol=1e-12)
+
+    def test_ragged_self_query(self):
+        from mv_lm_icp_tpu.ops import nn_window
+
+        rng = np.random.default_rng(9)
+        n_real = 300
+        pts = np.full((384, 3), 1e6)
+        pts[:n_real] = rng.normal(size=(n_real, 3))
+        pts = jnp.asarray(pts)
+        valid = jnp.arange(384) < n_real
+        bi, bd = nn.knn(pts[:n_real], pts, valid, k=8, chunk=128)
+        wi, wd, ex = nn_window.knn_window(pts, pts, valid, k=8,
+                                          window=384, query_chunk=64,
+                                          query_valid=valid)
+        ex = np.asarray(ex)
+        assert ex.all()
+        np.testing.assert_array_equal(np.asarray(wi)[:n_real],
+                                      np.asarray(bi))
+
+    def test_normals_window_equals_brute(self):
+        rng = np.random.default_rng(10)
+        v = rng.normal(size=(512, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = jnp.asarray(v)
+        valid = jnp.ones(512, bool)
+        nb, cb = pca.recompute_normals(pts, valid, k=10, chunk=128)
+        nw, cw = pca.recompute_normals(pts, valid, k=10, window=512)
+        np.testing.assert_allclose(np.asarray(nw), np.asarray(nb),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(cw), np.asarray(cb),
+                                   atol=1e-12)
+
+
+class TestEigh3:
+    """Analytic SoA 3x3 symmetric eigensolver vs jnp.linalg.eigh."""
+
+    def test_matches_lapack_eigh(self):
+        rng = np.random.default_rng(11)
+        B = rng.normal(size=(500, 3, 3))
+        A = B @ np.swapaxes(B, 1, 2)        # SPD-ish symmetric
+        a = jnp.asarray(A)
+        vx, vy, vz, lam, tr = pca.eigh3_smallest(
+            a[:, 0, 0], a[:, 0, 1], a[:, 0, 2],
+            a[:, 1, 1], a[:, 1, 2], a[:, 2, 2])
+        evals, evecs = np.linalg.eigh(A)
+        np.testing.assert_allclose(np.asarray(lam), evals[:, 0],
+                                   rtol=1e-8, atol=1e-10)
+        v = np.stack([vx, vy, vz], axis=1)
+        cos = np.abs(np.sum(v * evecs[:, :, 0], axis=1))
+        np.testing.assert_allclose(cos, 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tr),
+                                   np.trace(A, axis1=1, axis2=2),
+                                   rtol=1e-12)
+
+    def test_degenerate_isotropic(self):
+        a = jnp.asarray(np.tile(np.eye(3)[None], (4, 1, 1)))
+        vx, vy, vz, lam, tr = pca.eigh3_smallest(
+            a[:, 0, 0], a[:, 0, 1], a[:, 0, 2],
+            a[:, 1, 1], a[:, 1, 2], a[:, 2, 2])
+        v = np.stack([vx, vy, vz], axis=1)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0)
+        np.testing.assert_allclose(np.asarray(lam), 1.0, atol=1e-6)
