@@ -60,14 +60,14 @@ def main():
         def fused(fs, cfg=cfg):
             return pipeline.run_icp_fused(fs, cfg)
 
-        fs1, _ = jax.block_until_ready(fused(fs0))     # compile
+        fs1, _, _ = jax.block_until_ready(fused(fs0))  # compile
         t0 = time.perf_counter()
-        fs1, _ = jax.block_until_ready(fused(fs0))
+        fs1, _, _ = jax.block_until_ready(fused(fs0))
         dt = (time.perf_counter() - t0) / args.rounds
         rmse = float(metrics.alignment_rmse(fs1))
         print(f"LM {param:12s} {metric:20s} {dt*1e3:9.1f} {rmse:11.5f}")
 
-    # pose-graph (g2o GICP equivalent) — host-driven chi2 outer loop
+    # pose-graph (g2o GICP equivalent) — fused on-device chi2 outer loop
     for p2pl in (True, False):
         fs = fs0
         edges = frameset.knn_pose_graph(fs.poses, 2)
@@ -78,8 +78,8 @@ def main():
             t0 = time.perf_counter()
             corr = correspond.find_correspondences(fs, edges, 0.05,
                                                    use_pallas=True)
-            fs, _ = posegraph.solve_posegraph(fs, edges, corr,
-                                              point_to_plane=p2pl)
+            fs, _, _ = posegraph.solve_posegraph_fused(
+                fs, edges, corr, point_to_plane=p2pl)
             jax.block_until_ready(fs.poses)
             times.append(time.perf_counter() - t0)
         dt = min(times[1:]) if len(times) > 1 else times[0]

@@ -82,15 +82,10 @@ def _gicp_terms(r, Jh, Jk, ng, e_prec, wmask, point_to_plane):
     return cost, g_h, g_k, H_hh, H_hk, H_kk
 
 
-@partial(jax.jit, static_argnames=("point_to_plane", "config"))
-def solve_posegraph_once(fs: FrameSet, edges: jnp.ndarray,
-                         corr: Correspondences, *,
-                         point_to_plane: bool = True,
-                         e_precision: float = 0.01,
-                         config: lm_mod.LMConfig = lm_mod.LMConfig(
-                             max_iterations=100)):
-    """One inner LM solve of the pose graph (g2oOptimizer body,
-    icp-g2o.cpp:176-259). Returns (FrameSet', chi2)."""
+def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
+                      corr: Correspondences, point_to_plane: bool,
+                      e_precision: float):
+    """(build_system, apply_delta) closures over the GICP edge set."""
     F = fs.num_frames
     free = (~fs.fixed).astype(fs.points.dtype)
     free6 = jnp.repeat(free, 6)
@@ -130,8 +125,74 @@ def solve_posegraph_once(fs: FrameSet, edges: jnp.ndarray,
         d = delta.reshape(F, 6) * free[:, None]
         return jax.vmap(SE3.boxplus)(xs, d)
 
+    return build_system, apply_delta
+
+
+@partial(jax.jit, static_argnames=("point_to_plane", "config"))
+def solve_posegraph_once(fs: FrameSet, edges: jnp.ndarray,
+                         corr: Correspondences, *,
+                         point_to_plane: bool = True,
+                         e_precision: float = 0.01,
+                         config: lm_mod.LMConfig = lm_mod.LMConfig(
+                             max_iterations=100)):
+    """One inner LM solve of the pose graph (g2oOptimizer body,
+    icp-g2o.cpp:176-259). Returns (FrameSet', chi2)."""
+    build_system, apply_delta = _posegraph_system(
+        fs, edges, corr, point_to_plane, e_precision)
     xs, stats = lm_mod.lm_solve(fs.poses, build_system, apply_delta, config)
     return fs.replace(poses=xs), 2.0 * stats.final_cost
+
+
+@partial(jax.jit, static_argnames=("point_to_plane", "outer_rounds",
+                                   "inner_iterations", "stagnant_break"))
+def solve_posegraph_fused(fs: FrameSet, edges: jnp.ndarray,
+                          corr: Correspondences, *,
+                          point_to_plane: bool = True,
+                          e_precision: float = 0.01,
+                          outer_rounds: int = 100,
+                          inner_iterations: int = 100,
+                          stagnant_break: int = 6,
+                          rel_improvement: float = 1e-6):
+    """The whole chi2-monitored outer loop (icp-g2o.cpp:261-303) as ONE
+    compiled program: a ``lax.while_loop`` over inner LM solves, tracking
+    relative chi2 improvement and breaking after ``stagnant_break``
+    non-improving rounds — no host round-trip per round (the host-driven
+    :func:`solve_posegraph` syncs a float per round, measured 5x slower
+    than the LM path at Bunny scale).
+
+    Returns (FrameSet', chi2 history [outer_rounds] — entries past the
+    break carry NaN, rounds_run int32).
+    """
+    build_system, apply_delta = _posegraph_system(
+        fs, edges, corr, point_to_plane, e_precision)
+    cfg = lm_mod.LMConfig(max_iterations=inner_iterations)
+    dtype = fs.points.dtype
+
+    def inner(poses):
+        xs, stats = lm_mod.lm_solve(poses, build_system, apply_delta, cfg)
+        return xs, 2.0 * stats.final_cost
+
+    def cond(carry):
+        _, _, stagnant, i, _ = carry
+        return jnp.logical_and(i < outer_rounds,
+                               stagnant < stagnant_break)
+
+    def body(carry):
+        poses, last, stagnant, i, hist = carry
+        poses, chi2 = inner(poses)
+        impr = (last - chi2) / jnp.maximum(last, 1e-30)
+        first = ~jnp.isfinite(last)
+        stagnant = jnp.where(
+            jnp.logical_or(first, impr > rel_improvement),
+            0, stagnant + 1)
+        return (poses, chi2, stagnant, i + 1, hist.at[i].set(chi2))
+
+    hist0 = jnp.full(outer_rounds, jnp.nan, dtype)
+    poses, _, _, rounds, hist = jax.lax.while_loop(
+        cond, body,
+        (fs.poses, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32), hist0))
+    return fs.replace(poses=poses), hist, rounds
 
 
 def solve_posegraph(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,

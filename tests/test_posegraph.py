@@ -95,3 +95,35 @@ class TestMultiviewPoseGraph:
                                               outer_rounds=5)
         dt, dr = se3.pose_diff(fs.poses, fs.gt_poses)
         assert float(jnp.max(dt)) < 1e-4, np.asarray(dt)
+
+
+class TestFusedPoseGraph:
+    """The lax.while_loop chi2 outer loop must reproduce the host-driven
+    loop exactly (same stagnation semantics, icp-g2o.cpp:261-303)."""
+
+    def test_fused_matches_host_loop(self):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=11)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        corr = correspond.find_correspondences(fs, edges, cutoff=1.0,
+                                               chunk=128)
+        fs_host, hist_host = posegraph.solve_posegraph(
+            fs, edges, corr, point_to_plane=True)
+        fs_fused, hist_fused, rounds = posegraph.solve_posegraph_fused(
+            fs, edges, corr, point_to_plane=True)
+        rounds = int(rounds)
+        assert rounds == len(hist_host)
+        np.testing.assert_allclose(np.asarray(hist_fused[:rounds]),
+                                   np.asarray(hist_host), rtol=1e-6)
+        assert np.isnan(np.asarray(hist_fused[rounds:])).all()
+        np.testing.assert_allclose(np.asarray(fs_fused.poses),
+                                   np.asarray(fs_host.poses), atol=1e-7)
+
+    def test_fused_gauge_fixed(self):
+        fs = synthetic_frameset(F=3, N=128, sigma=0.02, sigmat=0.01, seed=12)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        corr = correspond.find_correspondences(fs, edges, cutoff=1.0,
+                                               chunk=128)
+        fs2, _, _ = posegraph.solve_posegraph_fused(fs, edges, corr,
+                                                    outer_rounds=3)
+        np.testing.assert_array_equal(np.asarray(fs2.poses[0]),
+                                      np.asarray(fs.poses[0]))
