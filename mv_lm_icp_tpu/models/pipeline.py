@@ -44,6 +44,9 @@ class ICPConfig:
     use_window: bool = False           # sorted-window sweep (large clouds)
     window: int = 8192                 # sorted-window row count W
     schur_elim: Optional[tuple] = None  # independent-set Schur elimination
+    comm: str = "blocks"               # distributed exchange: "blocks"
+    # (O(E) per-edge 6x6 blocks through psum/all_gather) or "dense"
+    # (psum the O(F^2) system) — see parallel/assemble.py
     lm: lm_mod.LMConfig = lm_mod.LMConfig()
 
 

@@ -30,6 +30,7 @@ from ..models import frameset
 from ..models.pipeline import ICPConfig
 from ..ops import nn, residuals as res_mod, robust as robust_mod, se3
 from ..solvers import lm as lm_mod
+from . import assemble
 
 _HI = jax.lax.Precision.HIGHEST
 AXIS = "frames"
@@ -135,6 +136,11 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
         uncovered = jax.lax.psum(jnp.sum(uncs), AXIS)
         p_e = jnp.concatenate([pts_loc, pts_loc], axis=0)
 
+        if cfg.comm == "blocks":
+            # edge keys are LM-iteration-invariant: gather them once
+            src_all = jax.lax.all_gather(src_gs, AXIS, tiled=True, axis=0)
+            dst_all = jax.lax.all_gather(dst_gs, AXIS, tiled=True, axis=0)
+
         def build_system(xs):
             def edge_terms(e):
                 r, Jh, Jk = res_mod.residuals_and_jacobians(
@@ -169,18 +175,19 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
 
             cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
                 edge_terms, jnp.arange(2 * floc))
-            cost = jnp.sum(cost_e)
-            G = jnp.zeros((F, 6), dtype=cost.dtype)
-            G = G.at[src_gs].add(g_h).at[dst_gs].add(g_k)
-            H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
-            H = H.at[src_gs, :, src_gs, :].add(H_hh)
-            H = H.at[dst_gs, :, dst_gs, :].add(H_kk)
-            H = H.at[src_gs, :, dst_gs, :].add(H_hk)
-            H = H.at[dst_gs, :, src_gs, :].add(
-                jnp.swapaxes(H_hk, -1, -2))
-            cost = jax.lax.psum(cost, AXIS)
-            G = jax.lax.psum(G, AXIS)
-            H = jax.lax.psum(H, AXIS)
+            cost = jax.lax.psum(jnp.sum(cost_e), AXIS)
+            if cfg.comm == "blocks":
+                # move O(E) per-edge blocks instead of the dense system
+                gh, gk, hhh, hhk, hkk = [
+                    jax.lax.all_gather(x, AXIS, tiled=True, axis=0)
+                    for x in (g_h, g_k, H_hh, H_hk, H_kk)]
+                G, H = assemble.assemble_dense(
+                    F, src_all, dst_all, gh, gk, hhh, hhk, hkk)
+            else:
+                G, H = assemble.assemble_dense(
+                    F, src_gs, dst_gs, g_h, g_k, H_hh, H_hk, H_kk)
+                G = jax.lax.psum(G, AXIS)
+                H = jax.lax.psum(H, AXIS)
             g = G.reshape(F * 6) * free6
             Hm = H.reshape(F * 6, F * 6)
             Hm = Hm * free6[:, None] * free6[None, :] \

@@ -32,6 +32,7 @@ from ..models import correspond, frameset
 from ..models.pipeline import ICPConfig
 from ..ops import nn, residuals as res_mod, robust as robust_mod, se3
 from ..solvers import lm as lm_mod
+from . import assemble
 from . import mesh as mesh_mod
 
 _HI = jax.lax.Precision.HIGHEST
@@ -146,6 +147,13 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
                                  (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
         starts = jnp.full(edges_loc.shape[0], start, jnp.int32)
 
+        if cfg.comm == "blocks":
+            # edge keys are LM-iteration-invariant: gather them once
+            src_all = jax.lax.all_gather(
+                src_idx, mesh_mod.EDGE_AXIS, tiled=True, axis=0)
+            dst_all = jax.lax.all_gather(
+                dst_idx, mesh_mod.EDGE_AXIS, tiled=True, axis=0)
+
         def build_system(xs):
             def edge_terms(e):
                 src, dst = src_idx[e], dst_idx[e]
@@ -181,19 +189,26 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
             cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
                 edge_terms, jnp.arange(edges_loc.shape[0]))
             cost = jnp.sum(cost_e)
-            G = jnp.zeros((F, 6), dtype=cost.dtype)
-            G = G.at[src_idx].add(g_h).at[dst_idx].add(g_k)
-            H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
-            H = H.at[src_idx, :, src_idx, :].add(H_hh)
-            H = H.at[dst_idx, :, dst_idx, :].add(H_kk)
-            H = H.at[src_idx, :, dst_idx, :].add(H_hk)
-            H = H.at[dst_idx, :, src_idx, :].add(
-                jnp.swapaxes(H_hk, -1, -2))
-            # global reduction over both mesh axes
             cost = jax.lax.psum(cost, (mesh_mod.EDGE_AXIS,
                                        mesh_mod.POINT_AXIS))
-            G = jax.lax.psum(G, (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
-            H = jax.lax.psum(H, (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
+            if cfg.comm == "blocks":
+                # move O(E) per-edge 6x6 blocks, not the O(F^2) dense
+                # system: psum the point-split partials of OUR edges,
+                # all_gather everyone's edge blocks, assemble on-device
+                gh, gk, hhh, hhk, hkk = [
+                    jax.lax.all_gather(
+                        jax.lax.psum(x, mesh_mod.POINT_AXIS),
+                        mesh_mod.EDGE_AXIS, tiled=True, axis=0)
+                    for x in (g_h, g_k, H_hh, H_hk, H_kk)]
+                G, H = assemble.assemble_dense(
+                    F, src_all, dst_all, gh, gk, hhh, hhk, hkk)
+            else:
+                G, H = assemble.assemble_dense(
+                    F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
+                G = jax.lax.psum(G, (mesh_mod.EDGE_AXIS,
+                                     mesh_mod.POINT_AXIS))
+                H = jax.lax.psum(H, (mesh_mod.EDGE_AXIS,
+                                     mesh_mod.POINT_AXIS))
             g = G.reshape(F * 6) * free6
             Hm = H.reshape(F * 6, F * 6)
             Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)

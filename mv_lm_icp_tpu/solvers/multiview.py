@@ -99,14 +99,10 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
                 edge_terms, jnp.arange(edges.shape[0]))
 
         cost = jnp.sum(cost_e)
-        G = jnp.zeros((F, 6), dtype=cost.dtype)
-        G = G.at[src_idx].add(g_h).at[dst_idx].add(g_k)
-        H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
-        H = H.at[src_idx, :, src_idx, :].add(H_hh)
-        H = H.at[dst_idx, :, dst_idx, :].add(H_kk)
-        H = H.at[src_idx, :, dst_idx, :].add(H_hk)
-        H = H.at[dst_idx, :, src_idx, :].add(
-            jnp.swapaxes(H_hk, -1, -2))
+        from ..parallel import assemble
+
+        G, H = assemble.assemble_dense(
+            F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
 
         g = G.reshape(F * 6) * free6
         Hm = H.reshape(F * 6, F * 6)

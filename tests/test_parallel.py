@@ -85,6 +85,53 @@ class TestShardedConvergence:
                                    np.asarray(fs_single.poses), atol=1e-8)
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+class TestShardedSchur:
+    """Schur elimination distributed over the mesh: the reduced-system
+    solve must match the single-device dense solve exactly (the
+    elimination is algebraic, icp-ceres.cpp:66-89 equivalent)."""
+
+    def test_schur_round_parity(self, shape):
+        fs = synthetic_frameset(F=6, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
+        cfg_s = pipeline.enable_schur(cfg, fs, edges)
+        assert any(cfg_s.schur_elim)
+        m = mesh_mod.make_mesh(shape=shape)
+        fs_shard, _ = sharded.sharded_icp_round(fs, edges, cfg_s, m)
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-6)
+
+
+class TestCommModes:
+    """Block-sparse collective exchange (O(E) per-edge blocks) must match
+    the dense O(F^2) psum bit-for-bit-ish, and must actually be smaller."""
+
+    @pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+    def test_blocks_equals_dense(self, shape):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        m = mesh_mod.make_mesh(shape=shape)
+        fs_b, _ = sharded.sharded_icp_round(
+            fs, edges, cfg_for_tests(rounds=1, comm="blocks"), m)
+        fs_d, _ = sharded.sharded_icp_round(
+            fs, edges, cfg_for_tests(rounds=1, comm="dense"), m)
+        np.testing.assert_allclose(np.asarray(fs_b.poses),
+                                   np.asarray(fs_d.poses), atol=1e-7)
+
+    def test_collective_floats(self):
+        from mv_lm_icp_tpu.parallel import assemble
+
+        F, E = 36, 72   # Bunny-scale knn=2 graph
+        b = assemble.collective_floats(F, E, "blocks")
+        d = assemble.collective_floats(F, E, "dense")
+        assert b == 72 * 120 and d == 216 * 216 + 216
+        assert b < d / 5
+        with pytest.raises(ValueError):
+            assemble.collective_floats(F, E, "nope")
+
+
 @pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
 class TestShardedWindow:
     """Sorted-window NN under shard_map (both XLA and Pallas variants)

@@ -50,6 +50,37 @@ class TestRingMatchesDense:
                                    np.asarray(fs_dense.poses), atol=1e-8)
 
 
+class TestRingSchur:
+    def test_schur_parity(self):
+        """Schur elimination on the frame-sharded ring path matches the
+        dense replicated solve."""
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=21)
+        cfg = cfg_for()
+        edges = ring.ring_edges(fs.num_frames)
+        corr = correspond.find_correspondences(fs, edges, cfg.cutoff,
+                                               chunk=cfg.nn_chunk)
+        fs_dense, _ = mv.solve_multiview(
+            fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
+            robust=cfg.robust, config=cfg.lm)
+        cfg_s = pipeline.enable_schur(cfg, fs, np.asarray(edges))
+        assert any(cfg_s.schur_elim)
+        fs_ring, _ = ring.ring_icp_round(fs, cfg_s, ring_mesh(4))
+        np.testing.assert_allclose(np.asarray(fs_ring.poses),
+                                   np.asarray(fs_dense.poses), atol=1e-6)
+
+
+class TestRingCommModes:
+    def test_blocks_equals_dense(self):
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=23)
+        mesh = ring_mesh(4)
+        fs_b, _ = ring.ring_icp_round(fs, cfg_for(comm="blocks"), mesh)
+        fs_d, _ = ring.ring_icp_round(fs, cfg_for(comm="dense"), mesh)
+        np.testing.assert_allclose(np.asarray(fs_b.poses),
+                                   np.asarray(fs_d.poses), atol=1e-7)
+
+
 class TestRingConvergence:
     def test_multi_round(self):
         from mv_lm_icp_tpu.utils import metrics
