@@ -142,6 +142,48 @@ def main():
     except Exception as e:  # secondary metrics must never break the line
         log(f"multiview bench skipped: {e}")
 
+    # secondary: on-device Pallas-vs-XLA NN exactness (kernel correctness
+    # as a checked artifact on the REAL backend, not just interpret mode)
+    try:
+        from mv_lm_icp_tpu.kernels import nn_pallas
+        from mv_lm_icp_tpu.ops import nn as nn_ops
+        import numpy as np
+
+        q = dst[: 8192]
+        idx_p, d2_p = nn_pallas.nn_1(q, pts, jnp.ones(pts.shape[0], bool))
+        idx_x, d2_x = nn_ops.nn_1(q, pts, jnp.ones(pts.shape[0], bool),
+                                  chunk=2048)
+        same = int(np.sum(np.asarray(idx_p) == np.asarray(idx_x)))
+        assert same == q.shape[0], f"Pallas/XLA argmin mismatch: {same}"
+        log(f"on-device NN exactness: Pallas == XLA argmin on "
+            f"{same}/{q.shape[0]} queries (backend: "
+            f"{jax.devices()[0].platform})")
+    except Exception as e:
+        log(f"NN exactness probe skipped: {e}")
+
+    # secondary: mixed-precision accuracy (f32 LM + 3 f64 GN polish steps)
+    # in a subprocess because it needs jax_enable_x64 from startup
+    try:
+        import os
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ, JAX_ENABLE_X64="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "benchmarks",
+                                          "accuracy_f64.py")],
+            env=env, capture_output=True, text=True, timeout=900)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        acc = json.loads(line)
+        log(f"f64-refined accuracy ({acc['backend']}): "
+            f"diff_tra {acc['f32_diff_tra']:.2e} (f32) -> "
+            f"{acc['diff_tra']:.2e} (+3 GN f64 steps, "
+            f"{acc['refine_ms_naive']:.0f} ms naive); reference f64 "
+            "Ceres: ~6e-11 (README.md:142-150)")
+        assert acc["diff_tra"] < 1e-10, acc
+    except Exception as e:
+        log(f"f64 accuracy probe skipped: {e}")
+
     result = {
         "metric": "pairwise_p2pl_se3_lm_solve",
         "value": round(t_lm, 6),

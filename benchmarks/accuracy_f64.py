@@ -1,0 +1,77 @@
+"""On-device f64 accuracy probe (run with JAX_ENABLE_X64=1).
+
+Measures the mixed-precision pairwise path on the current backend: f32
+trust-region LM + 3 f64 Gauss-Newton polish steps
+(solvers/lm.refine_pairwise). Target: the reference's double-precision
+magnitudes (reference: README.md:142-150 — Ceres diff_tra ~6e-11).
+Prints one JSON line: {"diff_tra":..., "diff_rot_deg":...,
+"refine_ms":..., "f32_diff_tra":...}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: the f64 kernels recompile through the
+    # remote-compile tunnel otherwise (minutes per cold run)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from mv_lm_icp_tpu.ops import se3
+    from mv_lm_icp_tpu.solvers import lm
+    from mv_lm_icp_tpu.utils import datasets
+
+    pts_np, nor_np = datasets.load_single_cloud()
+    pts64 = jnp.asarray(pts_np, jnp.float64)
+    nor64 = jnp.asarray(nor_np, jnp.float64)
+    gt = se3.add_noise(jax.random.PRNGKey(42),
+                       datasets.synthetic_pairwise_pose(jnp.float64),
+                       0.1, 0.1)
+    dst64 = se3.apply(gt, pts64)
+    nor_dst64 = se3.rotate_only(gt, nor64)
+    pts, dst, nor_dst = (a.astype(jnp.float32)
+                         for a in (pts64, dst64, nor_dst64))
+
+    est32, _ = lm.solve_pairwise(pts, dst, nor_dst, param_name="se3",
+                                 metric="point_to_plane")
+    dt32, _ = se3.pose_diff(gt, est32.astype(jnp.float64))
+
+    ref, _ = lm.refine_pairwise(est32, pts64, dst64, nor_dst64,
+                                metric="point_to_plane", iters=3)
+    jax.block_until_ready(ref)          # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        ref, _ = lm.refine_pairwise(est32, pts64, dst64, nor_dst64,
+                                    metric="point_to_plane", iters=3)
+        jax.block_until_ready(ref)
+    refine_ms = (time.perf_counter() - t0) / reps * 1e3
+    dt, dr = se3.pose_diff(gt, ref)
+    print(json.dumps({
+        "backend": jax.devices()[0].platform,
+        "f32_diff_tra": float(dt32),
+        "diff_tra": float(dt),
+        "diff_rot_deg": float(dr),
+        "refine_ms_naive": round(refine_ms, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

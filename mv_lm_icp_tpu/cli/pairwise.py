@@ -33,6 +33,12 @@ def build_parser():
                    help="xyz file (default: Bunny cloudXYZ_0)")
     p.add_argument("--dtype", choices=["float32", "float64"],
                    default="float32")
+    p.add_argument("--refine", action="store_true",
+                   help="polish the SE3 LM estimate with a few f64 "
+                        "Gauss-Newton steps (reference f64 accuracy on "
+                        "TPU at a fraction of a full f64 solve; the "
+                        "problem is generated in f64 so the target is "
+                        "representable)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu/tpu)")
@@ -55,7 +61,7 @@ def main(argv=None):
     from ..utils.timer import Timer
 
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
-    if dtype == jnp.float64:
+    if dtype == jnp.float64 or args.refine:
         jax.config.update("jax_enable_x64", True)
 
     pts_np, nor_np = datasets.load_single_cloud(args.cloud)
@@ -63,17 +69,22 @@ def main(argv=None):
     for i in range(3):
         print(" ", pts_np[i], nor_np[i])
 
-    pts = jnp.asarray(pts_np, dtype)
-    nor = jnp.asarray(nor_np, dtype)
-    gt_clean = datasets.synthetic_pairwise_pose(dtype)
-    gt = se3.add_noise(jax.random.PRNGKey(args.seed), gt_clean, 0.1, 0.1)
-    dst = se3.apply(gt, pts)
+    # with --refine the problem is generated in f64 (so the exact pose
+    # is representable below f32 resolution) and solved in f32
+    gen = jnp.float64 if args.refine else dtype
+    pts64 = jnp.asarray(pts_np, gen)
+    nor64 = jnp.asarray(nor_np, gen)
+    gt = se3.add_noise(jax.random.PRNGKey(args.seed),
+                       datasets.synthetic_pairwise_pose(gen), 0.1, 0.1)
+    dst64 = se3.apply(gt, pts64)
+    nor_dst64 = se3.rotate_only(gt, nor64)
+    pts, nor, dst = (a.astype(dtype) for a in (pts64, nor64, dst64))
 
     timer = Timer()
     results = {}
 
     if args.pointToPlane:
-        nor_dst = se3.rotate_only(gt, nor)
+        nor_dst = nor_dst64.astype(dtype)
         timer.tic()
         results["closed form"] = closedform.point_to_plane(pts, dst, nor_dst)
         timer.toc("closed", block_on=results["closed form"])
@@ -117,10 +128,21 @@ def main(argv=None):
                 results[label] = est
                 timer.toc(label, block_on=est)
 
+    if args.refine and "lm SophusSE3" in results:
+        metric = ("point_to_plane" if args.pointToPlane
+                  else "point_to_point")
+        timer.tic()
+        est, _ = lm.refine_pairwise(
+            results["lm SophusSE3"], pts64, dst64,
+            nor_dst64 if args.pointToPlane else None,
+            metric=metric, iters=3)
+        results["lm SE3 + f64 refine"] = est
+        timer.toc("refine (3 GN f64)", block_on=est)
+
     timer.print_all_timings()
     print("\n=====  Accuracy ====")
     for label, est in results.items():
-        dt, dr = se3.pose_diff(gt, est)
+        dt, dr = se3.pose_diff(gt, est.astype(gt.dtype))
         print(f"{label:22s} diff_tra:{float(dt):.6g}\t"
               f"diff_rot_degrees:{float(dr):.6g}")
 

@@ -229,6 +229,47 @@ def make_pairwise_system(param, metric: str, src, dst, nor=None,
     return build_system
 
 
+@partial(jax.jit, static_argnames=("metric", "loss", "iters"))
+def refine_pairwise(pose7, src, dst, nor=None, *,
+                    metric: str = "point_to_point", weights=None,
+                    loss: str = "trivial", loss_scale=1.0, iters: int = 3):
+    """Polish a converged f32 pose with a few f64 Gauss-Newton steps.
+
+    The TPU has no f64 ALUs; XLA emulates f64 at ~2 orders of magnitude
+    the f32 cost, so running the reference's full <=50-iteration LM loop
+    in f64 (icp-ceres.cpp:45-95 is all-double) wastes that budget. The
+    fast f32 trust-region solve lands within ~1e-7 of the optimum and
+    Newton convergence is quadratic from there: ``iters`` undamped
+    Gauss-Newton steps with residuals/Jacobians evaluated in f64 reach
+    the f64 fixed point (diff_tra ~1e-13, the reference's published
+    magnitudes, README.md:142-150) for a few ms instead of ~200.
+
+    Requires ``jax_enable_x64``; without it the evaluation silently
+    stays f32 and the result matches plain :func:`solve_pairwise`.
+    Returns (pose7_refined, per-step cost history).
+    """
+    param = res_mod.PARAMS["se3"]   # tangent space choice is free here
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else src.dtype
+    x = jnp.asarray(pose7, dtype)
+    x = x.at[:4].set(x[:4] / jnp.linalg.norm(x[:4]))
+    args = [jnp.asarray(a, dtype) if a is not None else None
+            for a in (src, dst, nor)]
+    system = make_pairwise_system(param, metric, *args, weights=weights,
+                                  loss=loss, loss_scale=loss_scale)
+
+    def step(x, _):
+        cost, g, H = system(x)
+        # tiny Marquardt damping keeps the 6x6 solve safe if the f32
+        # start is degenerate; it does not bias the fixed point (g -> 0)
+        Hd = H + 1e-12 * jnp.diag(jnp.diagonal(H))
+        L = jnp.linalg.cholesky(Hd)
+        delta = jax.scipy.linalg.cho_solve((L, True), -g)
+        return param.boxplus(x, delta), cost
+
+    x, costs = jax.lax.scan(step, x, None, length=iters)
+    return x, costs
+
+
 @partial(jax.jit, static_argnames=("param_name", "metric", "loss",
                                    "use_autodiff", "config"))
 def solve_pairwise(src, dst, nor=None, *, param_name: str = "se3",

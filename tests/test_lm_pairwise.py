@@ -52,6 +52,37 @@ class TestSolvePairwise:
         assert float(dr) < 1e-4
 
 
+class TestRefinePairwise:
+    """Mixed-precision path: the f32 solve polished by a few f64
+    Gauss-Newton steps must reach the reference's double-precision
+    magnitudes (README.md:142-150: diff_tra ~6e-11)."""
+
+    @pytest.mark.parametrize("metric", ["point_to_point", "point_to_plane"])
+    def test_f32_plus_refine_hits_f64_accuracy(self, metric):
+        src64, dst64, nor64, gt = make_problem(seed=4, n=2000)
+        src, dst, nor = (a.astype(jnp.float32) for a in (src64, dst64,
+                                                         nor64))
+        est32, _ = lm.solve_pairwise(src, dst, nor, param_name="se3",
+                                     metric=metric)
+        dt32, _ = se3.pose_diff(gt, est32.astype(jnp.float64))
+        est, costs = lm.refine_pairwise(est32, src64, dst64, nor64,
+                                        metric=metric, iters=3)
+        assert est.dtype == jnp.float64
+        dt, dr = se3.pose_diff(gt, est)
+        assert float(dt) < 1e-11, (float(dt), float(dt32))
+        assert float(dr) < 1e-5
+        # the polish must actually improve on the f32 fixed point
+        assert float(dt) < float(dt32) * 1e-2
+
+    def test_refine_is_fixed_point_at_optimum(self):
+        """Refining an already-exact pose must not move it."""
+        src, dst, nor, gt = make_problem(seed=5, n=500)
+        est, _ = lm.refine_pairwise(gt, src, dst, nor,
+                                    metric="point_to_plane", iters=2)
+        dt, dr = se3.pose_diff(gt, est)
+        assert float(dt) < 1e-13 and float(dr) < 1e-6
+
+
 class TestRobustAndMasking:
     def test_masked_equals_pruned(self):
         src, dst, nor, gt = make_problem(seed=2, n=300)
