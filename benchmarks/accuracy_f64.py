@@ -57,10 +57,13 @@ def main():
     jax.block_until_ready(ref)          # compile
     t0 = time.perf_counter()
     reps = 5
-    for _ in range(reps):
-        ref, _ = lm.refine_pairwise(est32, pts64, dst64, nor_dst64,
-                                    metric="point_to_plane", iters=3)
-        jax.block_until_ready(ref)
+    for i in range(reps):
+        # index-perturbed input (negligible physics) so no dispatch/result
+        # cache can skip the execution
+        r_i, _ = lm.refine_pairwise(est32, pts64, dst64 + 1e-15 * i,
+                                    nor_dst64, metric="point_to_plane",
+                                    iters=3)
+        jax.block_until_ready(r_i)
     refine_ms = (time.perf_counter() - t0) / reps * 1e3
     dt, dr = se3.pose_diff(gt, ref)
     print(json.dumps({

@@ -82,7 +82,10 @@ def main():
                 fs, edges, corr, point_to_plane=p2pl)
             jax.block_until_ready(fs.poses)
             times.append(time.perf_counter() - t0)
-        dt = min(times[1:]) if len(times) > 1 else times[0]
+        # early steady-state rounds only: once poses converge the inputs
+        # stop changing and the RPC tunnel dedupes the repeated program,
+        # reporting ~0 ms for later rounds
+        dt = min(times[1:5]) if len(times) > 1 else times[0]
         rmse = float(metrics.alignment_rmse(fs))
         print(f"posegraph/GICP {name:20s}    {dt*1e3:9.1f} {rmse:11.5f}")
 

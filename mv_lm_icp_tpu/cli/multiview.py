@@ -49,6 +49,11 @@ def build_parser():
                    action="store_false")
     p.add_argument("--robust", action="store_true", default=True)
     p.add_argument("--no-robust", dest="robust", action="store_false")
+    p.add_argument("--prune", action="store_true",
+                   help="reject matches with dist > 1.5*median (the "
+                        "reference's commented-out outlier rejection, "
+                        "frame.cpp:178-183; stabilizes low-overlap "
+                        "scenes)")
     # framework extensions
     p.add_argument("--rounds", type=int, default=20)
     p.add_argument("--dtype", choices=["float32", "float64"],
@@ -135,7 +140,7 @@ def main(argv=None):
         param_name=param, robust=args.robust,
         use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas,
         use_grid=args.grid, use_window=args.window is not None,
-        window=args.window or 8192)
+        window=args.window or 8192, prune=args.prune)
 
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     print("graph adjacency matrix == block structure")

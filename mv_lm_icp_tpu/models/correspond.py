@@ -44,12 +44,14 @@ class Correspondences:
 
 
 @partial(jax.jit, static_argnames=("chunk", "use_pallas", "use_grid",
-                                   "grid_k", "use_window", "window"))
+                                   "grid_k", "use_window", "window",
+                                   "prune"))
 def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
                          chunk: int = 2048, use_pallas: bool = False,
                          use_grid: bool = False, grid_k: int = 128,
                          use_window: bool = False,
-                         window: int = 8192) -> Correspondences:
+                         window: int = 8192,
+                         prune: bool = False) -> Correspondences:
     """All-edges correspondence search (ApproachComponents::
     computeClosestPoints, main_multiview.cpp:119-127).
 
@@ -62,6 +64,12 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
       cloud backend on TPU (exact within cutoff);
     - ``use_grid``: O(N*K) grid hash (exact within cutoff; gather-bound
       on TPU, mainly the CPU/host-parity backend).
+
+    ``prune`` additionally rejects matches with dist > 1.5 * median —
+    the statistical outlier rejection the reference carries COMMENTED
+    OUT (frame.cpp:178-183). Off by default to match the reference's
+    shipped behaviour; measurably stabilizes low-overlap configurations
+    (BENCHMARKS.md 'low-overlap drift').
     """
     cutoff = jnp.asarray(cutoff, fs.points.dtype)
     src_idx, dst_idx = edges[:, 0], edges[:, 1]
@@ -88,6 +96,8 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         ok = jnp.logical_and(dist < cutoff, fs.valid[src_idx])
         ok = jnp.logical_and(ok, ~fs.fixed[src_idx][:, None])
         weight = 1.5 * nn.masked_median(dist, ok)
+        if prune:
+            ok = jnp.logical_and(ok, dist <= weight[:, None])
         return Correspondences(nn_idx=idx, dist=dist, valid=ok,
                                weight=weight, uncovered=unc)
 
@@ -120,6 +130,8 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         ok = jnp.logical_and(dist < cutoff, fs.valid[src])
         ok = jnp.logical_and(ok, ~fs.fixed[src])
         weight = 1.5 * nn.masked_median(dist, ok)
+        if prune:
+            ok = jnp.logical_and(ok, dist <= weight)
         return idx, dist, ok, weight, unc
 
     idx, dist, ok, weight, unc = jax.lax.map(per_edge, edges)

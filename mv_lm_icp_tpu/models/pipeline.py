@@ -43,6 +43,9 @@ class ICPConfig:
     grid_k: int = 128                  # grid-hash bucket capacity
     use_window: bool = False           # sorted-window sweep (large clouds)
     window: int = 8192                 # sorted-window row count W
+    prune: bool = False                # reject dist > 1.5*median matches
+    # (the reference's commented-out rejection, frame.cpp:178-183;
+    # stabilizes low-overlap scenes — BENCHMARKS.md 'low-overlap drift')
     schur_elim: Optional[tuple] = None  # independent-set Schur elimination
     comm: str = "blocks"               # distributed exchange: "blocks"
     # (O(E) per-edge 6x6 blocks through psum/all_gather) or "dense"
@@ -55,7 +58,8 @@ def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
     corr = correspond.find_correspondences(
         fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
         use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
-        grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window)
+        grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window,
+        prune=cfg.prune)
     fs, stats = mv_mod.solve_multiview(
         fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
         robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm,

@@ -121,6 +121,8 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
             ok = jnp.logical_and(dist < cfg.cutoff, val_loc[f])
             ok = jnp.logical_and(ok, ~fixed[src_g])
             weight = 1.5 * nn.masked_median(dist, ok)
+            if cfg.prune:
+                ok = jnp.logical_and(ok, dist <= weight)
             return (idx, ok.astype(pts_loc.dtype), weight, dpts[idx],
                     dnor[idx], src_g, dst_g, unc)
 

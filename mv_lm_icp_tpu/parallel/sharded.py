@@ -143,6 +143,8 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
         ok_all = jax.lax.all_gather(
             oks, mesh_mod.POINT_AXIS, tiled=True, axis=1)
         weights = 1.5 * nn.masked_median(dist_all, ok_all)
+        if cfg.prune:
+            oks = jnp.logical_and(oks, dists <= weights[:, None])
         uncovered = jax.lax.psum(jnp.sum(unc),
                                  (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
         starts = jnp.full(edges_loc.shape[0], start, jnp.int32)

@@ -93,6 +93,27 @@ class TestCorrespondences:
         assert np.asarray(corr.dist)[live].max() < 1e-6
         assert np.asarray(corr.valid)[live].all()
 
+    def test_median_prune(self):
+        """prune=True keeps exactly the valid matches with
+        dist <= 1.5*median — the reference's commented-out rejection
+        (frame.cpp:178-183)."""
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02,
+                                seed=9)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        base = correspond.find_correspondences(fs, edges, cutoff=1.0,
+                                               chunk=128)
+        pruned = correspond.find_correspondences(fs, edges, cutoff=1.0,
+                                                 chunk=128, prune=True)
+        np.testing.assert_array_equal(np.asarray(pruned.weight),
+                                      np.asarray(base.weight))
+        v0 = np.asarray(base.valid)
+        v1 = np.asarray(pruned.valid)
+        d = np.asarray(base.dist)
+        w = np.asarray(base.weight)[:, None]
+        assert (v1 <= v0).all()                       # subset
+        np.testing.assert_array_equal(v1, v0 & (d <= w))
+        assert v1.sum() < v0.sum()                    # actually rejects
+
     def test_fixed_frame_produces_nothing(self):
         fs = synthetic_frameset()
         edges = frameset.knn_pose_graph(fs.poses, 2)
