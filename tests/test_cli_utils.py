@@ -103,6 +103,19 @@ class TestCLISmoke:
         out = capsys.readouterr().out
         assert "closed form" in out and "diff_tra" in out
 
+    def test_pairwise_cli_refine(self, capsys):
+        """--refine appends the f64-polished SE3 row and it must hit the
+        reference's double-precision magnitudes (README.md:142-150)."""
+        import re
+
+        from mv_lm_icp_tpu.cli import pairwise
+
+        pairwise.main(["--pointToPlane", "--refine"])
+        out = capsys.readouterr().out
+        m = re.search(r"f64 refine\s+diff_tra:([0-9.e+-]+)", out)
+        assert m, out
+        assert float(m.group(1)) < 1e-11, out
+
     def test_multiview_cli(self, capsys, tmp_path):
         from mv_lm_icp_tpu.cli import multiview
 
