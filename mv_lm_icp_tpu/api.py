@@ -28,12 +28,16 @@ def register_pair(src, dst, normals=None, *, method: str = "lm",
                   metric: Optional[str] = None,
                   parameterization: str = "se3", robust: bool = False,
                   robust_scale: float = 1.0, weights=None,
-                  max_iterations: int = 50, x0=None):
+                  max_iterations: int = 50, x0=None, refine: int = 0):
     """Rigid pose T with T(src[i]) ~ dst[i] over given correspondences.
 
     ``normals`` are destination normals; providing them defaults the
     metric to point-to-plane (the reference's pairwise semantics,
     main_pairwise.cpp:71-92). Returns the se3 pose 7-vector.
+
+    ``refine`` > 0 (method "lm" only) polishes the result with that many
+    f64 Gauss-Newton steps (reference-grade f64 accuracy on TPU; needs
+    jax_enable_x64 — see solvers/lm.refine_pairwise).
     """
     from .solvers import closedform, lm, posegraph
 
@@ -62,6 +66,11 @@ def register_pair(src, dst, normals=None, *, method: str = "lm",
             loss=("soft_l1" if robust else "trivial"),
             loss_scale=robust_scale, x0=x0,
             config=lm.LMConfig(max_iterations=max_iterations))
+        if refine:
+            pose, _ = lm.refine_pairwise(
+                pose, src, dst, normals, metric=metric, weights=weights,
+                loss=("soft_l1" if robust else "trivial"),
+                loss_scale=robust_scale, iters=refine)
         return pose
     raise ValueError(f"unknown method {method!r}")
 

@@ -27,6 +27,18 @@ def test_register_pair_methods(method):
     assert float(dt) < 1e-8, (method, float(dt))
 
 
+def test_register_pair_refine():
+    """refine=N polishes the f32 solve to f64 accuracy."""
+    src64, dst64, nor64, gt = pair_problem(seed=3, n=1500)
+    src, dst, nor = (a.astype(jnp.float32) for a in (src64, dst64, nor64))
+    p32 = mv.register_pair(src, dst, nor)
+    pref = mv.register_pair(src64, dst64, nor64, refine=3)
+    dt32, _ = se3.pose_diff(gt, p32.astype(jnp.float64))
+    dt, _ = se3.pose_diff(gt, pref)
+    assert pref.dtype == jnp.float64
+    assert float(dt) < 1e-11 and float(dt) < float(dt32)
+
+
 def test_register_pair_p2pl_defaults_from_normals():
     src, dst, nor, gt = pair_problem(seed=2)
     pose = mv.register_pair(src, dst, normals=nor)
