@@ -120,6 +120,17 @@ class TestCommModes:
         np.testing.assert_allclose(np.asarray(fs_b.poses),
                                    np.asarray(fs_d.poses), atol=1e-7)
 
+    def test_prune_parity(self):
+        """Median pruning under the mesh matches the single-device path."""
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1, prune=True)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
+        m = mesh_mod.make_mesh(shape=(2, 4))
+        fs_shard, _ = sharded.sharded_icp_round(fs, edges, cfg, m)
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-8)
+
     def test_collective_floats(self):
         from mv_lm_icp_tpu.parallel import assemble
 
