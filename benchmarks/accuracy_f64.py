@@ -59,8 +59,9 @@ def main():
     reps = 5
     for i in range(reps):
         # index-perturbed input (negligible physics) so no dispatch/result
-        # cache can skip the execution
-        r_i, _ = lm.refine_pairwise(est32, pts64, dst64 + 1e-15 * i,
+        # cache can skip the execution; (i+1) so the first timed rep also
+        # differs from the warmup inputs
+        r_i, _ = lm.refine_pairwise(est32, pts64, dst64 + 1e-15 * (i + 1),
                                     nor_dst64, metric="point_to_plane",
                                     iters=3)
         jax.block_until_ready(r_i)

@@ -212,6 +212,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
     import jax.numpy as jnp
 
     from ..models import frameset, pipeline
+    from ..solvers.lm import reason_str as lm_reason
     from ..utils import checkpoint, export, metrics
 
     def snap(i, fs_now, weights=None):
@@ -225,35 +226,64 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 path=_os.path.join(args.snapshot, f"round_{i:03d}.png"),
                 title=f"round {i}")
 
+    watch = metrics.DivergenceWatch()
+
     if args.g2o:
         from ..models import correspond
         from ..solvers import posegraph
 
+        sharded_g2o = args.sharded and len(jax.devices()) > 1
+        mesh = None
+        if sharded_g2o:
+            from ..parallel import mesh as mesh_mod
+
+            mesh = mesh_mod.make_mesh()
+            print(f"g2o mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        elif args.sharded:
+            print("note: --sharded requested but only one device is "
+                  "visible; running the pose-graph solver unsharded")
         for i in range(start_round, args.rounds):
             timer.tic()
-            corr = correspond.find_correspondences(
-                fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
-                use_grid=cfg.use_grid, use_window=cfg.use_window,
-                window=cfg.window)
-            if cfg.use_window and int(jnp.sum(corr.uncovered)):
-                print(f"round {i}: {int(jnp.sum(corr.uncovered))} queries "
-                      f"lost window coverage; re-sizing W")
-                cfg = _autoraise_window(cfg, fs, edges,
-                                        floor=cfg.window + 2048)
+            if sharded_g2o:
+                from ..parallel import sharded
+
+                fs, chi2_hist, g2o_rounds, unc = \
+                    sharded.sharded_posegraph_round(
+                        fs, edges, cfg, mesh,
+                        point_to_plane=args.point_to_plane)
+                timer.toc(f"round {i}", block_on=fs.poses)
+                if cfg.use_window and int(unc):
+                    print(f"round {i}: {int(unc)} queries lost window "
+                          f"coverage; raising W")
+                    cfg = _autoraise_window(cfg, fs, edges,
+                                            floor=cfg.window + 2048)
+                corr = None
+            else:
                 corr = correspond.find_correspondences(
                     fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
                     use_grid=cfg.use_grid, use_window=cfg.use_window,
-                    window=cfg.window)
-            timer.toc(f"closest pts {i}", block_on=corr.dist)
-            timer.tic()
-            fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
-                fs, edges, corr, point_to_plane=args.point_to_plane)
-            timer.toc(f"global {i}", block_on=fs.poses)
+                    window=cfg.window, prune=cfg.prune)
+                if cfg.use_window and int(jnp.sum(corr.uncovered)):
+                    print(f"round {i}: {int(jnp.sum(corr.uncovered))} "
+                          f"queries lost window coverage; re-sizing W")
+                    cfg = _autoraise_window(cfg, fs, edges,
+                                            floor=cfg.window + 2048)
+                    corr = correspond.find_correspondences(
+                        fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
+                        use_grid=cfg.use_grid, use_window=cfg.use_window,
+                        window=cfg.window, prune=cfg.prune)
+                timer.toc(f"closest pts {i}", block_on=corr.dist)
+                timer.tic()
+                fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
+                    fs, edges, corr, point_to_plane=args.point_to_plane)
+                timer.toc(f"global {i}", block_on=fs.poses)
             last_chi2 = float(chi2_hist[int(g2o_rounds) - 1])
+            rmse = metrics.alignment_rmse(fs)
             print(f"round: {i}  chi2: {last_chi2:.6g} "
                   f"({int(g2o_rounds)} g2o rounds)  "
-                  f"rmse: {metrics.alignment_rmse(fs):.6f}")
-            snap(i, fs, corr.weight)
+                  f"rmse: {rmse:.6f}")
+            watch.update(rmse, prune_on=cfg.prune)
+            snap(i, fs, corr.weight if corr is not None else None)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
     elif args.fused:
@@ -295,8 +325,9 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 extra = (f"  UNCOVERED: {int(unc)} queries — raising W")
                 cfg = _autoraise_window(cfg, fs, edges,
                                         floor=cfg.window + 2048)
-            print(f"round: {i}  rmse: {metrics.alignment_rmse(fs):.6f}"
-                  f"{extra}")
+            rmse = metrics.alignment_rmse(fs)
+            print(f"round: {i}  rmse: {rmse:.6f}{extra}")
+            watch.update(rmse, prune_on=cfg.prune)
             snap(i, fs)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
@@ -325,11 +356,15 @@ def _run(args, cfg, fs, edges, timer, start_round):
             fs, stats = mv.solve_multiview(
                 fs, edges, corr, param_name=cfg.param_name,
                 metric=cfg.metric, robust=cfg.robust,
-                use_autodiff=cfg.use_autodiff, config=cfg.lm)
+                use_autodiff=cfg.use_autodiff, config=cfg.lm,
+                schur_elim=cfg.schur_elim)
             timer.toc(f"global {i}", block_on=fs.poses)
+            rmse = metrics.alignment_rmse(fs)
             print(f"round: {i}  lm_iters: {int(stats.iterations)}  "
                   f"cost: {float(stats.final_cost):.6g}  "
-                  f"rmse: {metrics.alignment_rmse(fs):.6f}")
+                  f"rmse: {rmse:.6f}  "
+                  f"[{lm_reason(stats)}]")
+            watch.update(rmse, prune_on=cfg.prune)
             snap(i, fs, corr.weight)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import pca, se3
+from ..ops import pca
 
 
 @flax.struct.dataclass

@@ -108,6 +108,7 @@ def run_icp(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(),
             cost=float(stats.final_cost),
             matched=int(jnp.sum(corr.valid)),
             uncovered=uncovered,
+            termination=lm_mod.reason_str(stats),
         )
         history.append(entry)
         if callback is not None:
@@ -131,7 +132,7 @@ def run_icp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig()):
         fs, costs, unc = carry
         fs, corr, stats = icp_round(fs, edges, cfg)
         return (fs, costs.at[i].set(stats.final_cost),
-                unc.at[i].set(jnp.sum(corr.uncovered)))
+                unc.at[i].set(jnp.sum(corr.uncovered).astype(jnp.int32)))
 
     costs0 = jnp.zeros(cfg.rounds, dtype=fs.points.dtype)
     unc0 = jnp.zeros(cfg.rounds, dtype=jnp.int32)

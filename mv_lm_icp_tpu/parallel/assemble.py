@@ -18,8 +18,9 @@ psum-reducing the dense matrix itself:
   dense system. Per-LM-iteration volume O(F^2). Simpler, and fine for
   small F; kept for A/B.
 
-Crossover: blocks wins once 126*E < 36*F^2 + 6*F — for the default
-knn=2 ring (E = 2F) that is every F > 7.
+Crossover: blocks wins once 120*E < 36*F^2 + 6*F (120 floats per edge,
+BLOCK_FLOATS_PER_EDGE below) — for the default knn=2 ring (E = 2F) that
+is every F >= 7.
 """
 from __future__ import annotations
 

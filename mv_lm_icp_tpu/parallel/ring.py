@@ -82,60 +82,83 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
         prv_pts, nxt_pts = halo(pts_loc)
         prv_nor, nxt_nor = halo(nor_loc)
         prv_val, nxt_val = halo(val_loc)
+        f_loc = jnp.arange(floc)
 
-        # dst cloud lookup for local frame slot f and direction dir
-        # (0 = +1 ring neighbour, 1 = -1): prefer local frames, fall back
-        # to the halo at the shard boundary.
-        def dst_arrays(f, direction):
-            g = jnp.where(direction == 0, f + 1, f - 1)  # local slot
-            inside = jnp.logical_and(g >= 0, g < floc)
-            g_safe = jnp.clip(g, 0, floc - 1)
-            pick = lambda loc, prv, nxt: jnp.where(
-                inside, loc[g_safe],
-                jnp.where(direction == 0, nxt, prv))
-            return (pick(pts_loc, prv_pts, nxt_pts),
-                    pick(nor_loc, prv_nor, nxt_nor),
-                    pick(val_loc, prv_val, nxt_val))
+        # dst cloud stacks per ring direction (0 = +1 neighbour, 1 = -1):
+        # local frames shifted by one slot, the halo'd frame filling the
+        # shard boundary. Static concatenates -> the whole direction's
+        # edges batch into ONE NN dispatch (any of the four backends,
+        # incl. both Pallas kernels — the HBM-limited regime this path
+        # exists for is exactly where they matter, VERDICT r2 #4).
+        def direction_corr(direction: int):
+            if direction == 0:
+                d_pts = jnp.concatenate([pts_loc[1:], nxt_pts[None]], 0)
+                d_nor = jnp.concatenate([nor_loc[1:], nxt_nor[None]], 0)
+                d_val = jnp.concatenate([val_loc[1:], nxt_val[None]], 0)
+                dst_g = jnp.mod(base + f_loc + 1, F)
+            else:
+                d_pts = jnp.concatenate([prv_pts[None], pts_loc[:-1]], 0)
+                d_nor = jnp.concatenate([prv_nor[None], nor_loc[:-1]], 0)
+                d_val = jnp.concatenate([prv_val[None], val_loc[:-1]], 0)
+                dst_g = jnp.mod(base + f_loc - 1, F)
+            src_g = base + f_loc
+            rel = jax.vmap(lambda s, d: se3.compose(
+                se3.inverse(poses[d]), poses[s]))(src_g, dst_g)
+            query = jax.vmap(se3.apply)(rel, pts_loc)      # (floc, N, 3)
 
-        def edge_corr(f, direction):
-            src_g = base + f
-            dst_g = jnp.mod(base + jnp.where(direction == 0, f + 1, f - 1),
-                            F)
-            dpts, dnor, dval = dst_arrays(f, direction)
-            rel = se3.compose(se3.inverse(poses[dst_g]), poses[src_g])
-            query = se3.apply(rel, pts_loc[f])
-            if cfg.use_window:
-                # sorted-window sweep on the halo'd neighbour cloud — the
-                # large-scene backend also runs frame-sharded
+            if cfg.use_window and cfg.use_pallas:
+                from ..kernels import nn_window_pallas
+
+                idx, d2, unc = nn_window_pallas.nn_1_window_batch(
+                    query, d_pts, d_val, cfg.cutoff, window=cfg.window,
+                    query_valid=val_loc)
+                idx = jnp.maximum(idx, 0)
+                d2 = d2.astype(query.dtype)
+                unc = jnp.sum(unc)
+            elif cfg.use_window:
                 from ..ops import nn_window
 
-                idx, d2, unc = nn_window.nn_1_window(
-                    query, dpts, dval, cfg.cutoff, window=cfg.window,
-                    query_valid=val_loc[f])
-                idx = jnp.maximum(idx, 0)
-            else:
-                idx, d2 = nn.nn_1(query, dpts, dval,
-                                  chunk=min(cfg.nn_chunk, N))
+                def one_window(args):
+                    q, dp, dv, qv = args
+                    i, d, u = nn_window.nn_1_window(
+                        q, dp, dv, cfg.cutoff, window=cfg.window,
+                        query_valid=qv)
+                    return jnp.maximum(i, 0), d, u
+
+                idx, d2, unc = jax.lax.map(
+                    one_window, (query, d_pts, d_val, val_loc))
+                unc = jnp.sum(unc)
+            elif cfg.use_pallas:
+                from ..kernels import nn_pallas
+
+                idx, d2 = nn_pallas.nn_1_batch(query, d_pts, d_val)
+                d2 = d2.astype(query.dtype)
                 unc = jnp.zeros((), jnp.int32)
+            else:
+                def one_brute(args):
+                    q, dp, dv = args
+                    return nn.nn_1(q, dp, dv, chunk=min(cfg.nn_chunk, N))
+
+                idx, d2 = jax.lax.map(one_brute, (query, d_pts, d_val))
+                unc = jnp.zeros((), jnp.int32)
+
             dist = jnp.sqrt(d2)
-            ok = jnp.logical_and(dist < cfg.cutoff, val_loc[f])
-            ok = jnp.logical_and(ok, ~fixed[src_g])
+            ok = jnp.logical_and(dist < cfg.cutoff, val_loc)
+            ok = jnp.logical_and(ok, ~fixed[src_g][:, None])
             weight = 1.5 * nn.masked_median(dist, ok)
             if cfg.prune:
-                ok = jnp.logical_and(ok, dist <= weight)
-            return (idx, ok.astype(pts_loc.dtype), weight, dpts[idx],
-                    dnor[idx], src_g, dst_g, unc)
+                ok = jnp.logical_and(ok, dist <= weight[:, None])
+            q_e = jnp.take_along_axis(d_pts, idx[..., None], axis=1)
+            n_e = jnp.take_along_axis(d_nor, idx[..., None], axis=1)
+            return (idx, ok.astype(pts_loc.dtype), weight, q_e, n_e,
+                    src_g, dst_g, unc)
 
-        def all_edges(direction):
-            return jax.lax.map(lambda f: edge_corr(f, direction),
-                               jnp.arange(floc))
-
-        corr0 = all_edges(jnp.int32(0))
-        corr1 = all_edges(jnp.int32(1))
         corr = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b], axis=0), corr0, corr1)
-        (idxs, oks, weights, q_e, n_e, src_gs, dst_gs, uncs) = corr
-        uncovered = jax.lax.psum(jnp.sum(uncs), AXIS)
+            lambda a, b: jnp.concatenate([a, b], axis=0)
+            if a.ndim else a + b,
+            direction_corr(0), direction_corr(1))
+        (idxs, oks, weights, q_e, n_e, src_gs, dst_gs, unc_sum) = corr
+        uncovered = jax.lax.psum(unc_sum, AXIS)
         p_e = jnp.concatenate([pts_loc, pts_loc], axis=0)
 
         if cfg.comm == "blocks":

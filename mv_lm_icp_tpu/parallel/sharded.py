@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..models import correspond, frameset
+from ..models import frameset
 from ..models.pipeline import ICPConfig
 from ..ops import nn, residuals as res_mod, robust as robust_mod, se3
 from ..solvers import lm as lm_mod
@@ -47,6 +47,88 @@ def pad_edges(edges: jnp.ndarray, multiple: int) -> jnp.ndarray:
         return edges
     pad = jnp.zeros((target - E, 2), dtype=edges.dtype)
     return jnp.concatenate([edges, pad], axis=0)
+
+
+def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
+                            n_point: int):
+    """Per-device correspondence stage shared by the LM and GICP rounds
+    (runs inside shard_map): search this device's point slice of its edge
+    slice with any of the four NN backends, robust scale from the
+    point-axis all_gather of distances (frame.cpp:166-176 semantics over
+    the full edge).
+
+    Returns (idxs [El, nloc], dists, oks, weights [El], starts [El],
+    nloc, uncovered int32 — psum'd over the whole mesh).
+    """
+    pidx = jax.lax.axis_index(mesh_mod.POINT_AXIS)
+    nloc = N // n_point
+    start = pidx * nloc
+    src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
+
+    def edge_query(edge):
+        src, dst = edge[0], edge[1]
+        src_pts = jax.lax.dynamic_slice_in_dim(
+            fs_rep.points[src], start, nloc, axis=0)
+        src_valid = jax.lax.dynamic_slice_in_dim(
+            fs_rep.valid[src], start, nloc, axis=0)
+        rel = se3.compose(se3.inverse(fs_rep.poses[dst]),
+                          fs_rep.poses[src])
+        return se3.apply(rel, src_pts), src_valid
+
+    queries, src_valid = jax.vmap(edge_query)(edges_loc)  # (El, nloc, 3)
+
+    if cfg.use_window and cfg.use_pallas:
+        from ..kernels import nn_window_pallas
+
+        idxs, d2s, unc = nn_window_pallas.nn_1_window_batch(
+            queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx],
+            cfg.cutoff, window=cfg.window, query_valid=src_valid)
+        idxs = jnp.maximum(idxs, 0)   # -1 rows carry d2=inf -> pruned
+        d2s = d2s.astype(queries.dtype)
+    elif cfg.use_window:
+        from ..ops import nn_window
+
+        def edge_window(args):
+            q, qv, dst = args
+            idx, d2, u = nn_window.nn_1_window(
+                q, fs_rep.points[dst], fs_rep.valid[dst], cfg.cutoff,
+                window=cfg.window, query_valid=qv)
+            return jnp.maximum(idx, 0), d2, u
+
+        idxs, d2s, unc = jax.lax.map(
+            edge_window, (queries, src_valid, dst_idx))
+    elif cfg.use_pallas:
+        from ..kernels import nn_pallas
+
+        idxs, d2s = nn_pallas.nn_1_batch(
+            queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx])
+        d2s = d2s.astype(queries.dtype)
+        unc = jnp.zeros((), jnp.int32)
+    else:
+        def edge_brute(args):
+            q, dst = args
+            return nn.nn_1(q, fs_rep.points[dst], fs_rep.valid[dst],
+                           chunk=min(cfg.nn_chunk, N))
+
+        idxs, d2s = jax.lax.map(edge_brute, (queries, dst_idx))
+        unc = jnp.zeros((), jnp.int32)
+
+    dists = jnp.sqrt(d2s)
+    oks = jnp.logical_and(dists < cfg.cutoff, src_valid)
+    oks = jnp.logical_and(oks, ~fs_rep.fixed[src_idx][:, None])
+    # robust scale needs each whole edge's distances: gather the
+    # point-axis shards (nloc * n_point = N values per edge)
+    dist_all = jax.lax.all_gather(
+        dists, mesh_mod.POINT_AXIS, tiled=True, axis=1)
+    ok_all = jax.lax.all_gather(
+        oks, mesh_mod.POINT_AXIS, tiled=True, axis=1)
+    weights = 1.5 * nn.masked_median(dist_all, ok_all)
+    if cfg.prune:
+        oks = jnp.logical_and(oks, dists <= weights[:, None])
+    uncovered = jax.lax.psum(jnp.sum(unc),
+                             (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
+    starts = jnp.full(edges_loc.shape[0], start, jnp.int32)
+    return idxs, dists, oks, weights, starts, nloc, uncovered
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
@@ -80,74 +162,10 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
     def device_fn(fs_rep, edges_loc):
         """Runs per device: edges_loc is this device's edge slice; the
         point axis is sliced by this device's coordinate."""
-        pidx = jax.lax.axis_index(mesh_mod.POINT_AXIS)
-        nloc = N // n_point
-        start = pidx * nloc
         src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
-
-        def edge_query(edge):
-            src, dst = edge[0], edge[1]
-            src_pts = jax.lax.dynamic_slice_in_dim(
-                fs_rep.points[src], start, nloc, axis=0)
-            src_valid = jax.lax.dynamic_slice_in_dim(
-                fs_rep.valid[src], start, nloc, axis=0)
-            rel = se3.compose(se3.inverse(fs_rep.poses[dst]),
-                              fs_rep.poses[src])
-            return se3.apply(rel, src_pts), src_valid
-
-        queries, src_valid = jax.vmap(edge_query)(edges_loc)  # (El, nloc, 3)
-
-        if cfg.use_window and cfg.use_pallas:
-            from ..kernels import nn_window_pallas
-
-            idxs, d2s, unc = nn_window_pallas.nn_1_window_batch(
-                queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx],
-                cfg.cutoff, window=cfg.window, query_valid=src_valid)
-            idxs = jnp.maximum(idxs, 0)   # -1 rows carry d2=inf -> pruned
-            d2s = d2s.astype(queries.dtype)
-        elif cfg.use_window:
-            from ..ops import nn_window
-
-            def edge_window(args):
-                q, qv, dst = args
-                idx, d2, u = nn_window.nn_1_window(
-                    q, fs_rep.points[dst], fs_rep.valid[dst], cfg.cutoff,
-                    window=cfg.window, query_valid=qv)
-                return jnp.maximum(idx, 0), d2, u
-
-            idxs, d2s, unc = jax.lax.map(
-                edge_window, (queries, src_valid, dst_idx))
-        elif cfg.use_pallas:
-            from ..kernels import nn_pallas
-
-            idxs, d2s = nn_pallas.nn_1_batch(
-                queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx])
-            d2s = d2s.astype(queries.dtype)
-            unc = jnp.zeros((), jnp.int32)
-        else:
-            def edge_brute(args):
-                q, dst = args
-                return nn.nn_1(q, fs_rep.points[dst], fs_rep.valid[dst],
-                               chunk=min(cfg.nn_chunk, N))
-
-            idxs, d2s = jax.lax.map(edge_brute, (queries, dst_idx))
-            unc = jnp.zeros((), jnp.int32)
-
-        dists = jnp.sqrt(d2s)
-        oks = jnp.logical_and(dists < cfg.cutoff, src_valid)
-        oks = jnp.logical_and(oks, ~fs_rep.fixed[src_idx][:, None])
-        # robust scale needs each whole edge's distances: gather the
-        # point-axis shards (nloc * n_point = N values per edge)
-        dist_all = jax.lax.all_gather(
-            dists, mesh_mod.POINT_AXIS, tiled=True, axis=1)
-        ok_all = jax.lax.all_gather(
-            oks, mesh_mod.POINT_AXIS, tiled=True, axis=1)
-        weights = 1.5 * nn.masked_median(dist_all, ok_all)
-        if cfg.prune:
-            oks = jnp.logical_and(oks, dists <= weights[:, None])
-        uncovered = jax.lax.psum(jnp.sum(unc),
-                                 (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
-        starts = jnp.full(edges_loc.shape[0], start, jnp.int32)
+        (idxs, dists, oks, weights, starts, nloc,
+         uncovered) = _device_correspondences(fs_rep, edges_loc, cfg, N,
+                                              n_point)
 
         if cfg.comm == "blocks":
             # edge keys are LM-iteration-invariant: gather them once
@@ -241,6 +259,108 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
         check_vma=False,
     )(fs, edges)
     return fs.replace(poses=poses), uncovered
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "point_to_plane",
+                                   "e_precision", "outer_rounds",
+                                   "inner_iterations", "stagnant_break"))
+def sharded_posegraph_round(fs: frameset.FrameSet, edges: jnp.ndarray,
+                            cfg: ICPConfig, mesh, *,
+                            point_to_plane: bool = True,
+                            e_precision: float = 0.01,
+                            outer_rounds: int = 100,
+                            inner_iterations: int = 100,
+                            stagnant_break: int = 6):
+    """One distributed (correspondence, GICP pose-graph solve) round —
+    the g2o comparison solver (icp-g2o.cpp:149-315) under the same
+    (edge, point) mesh as :func:`sharded_icp_round`: shared correspondence
+    stage, GICP anisotropic information blocks psum-reduced over both
+    axes, and the chi2-monitored outer loop (solvers/posegraph.
+    chi2_outer_loop) running replicated on the gauge-fixed [6F, 6F]
+    system. SURVEY §7.2.9's 'pose-graph solver on the large sharded
+    scene' obligation.
+
+    Returns (FrameSet with updated poses (replicated), chi2 history,
+    rounds_run, uncovered int32)."""
+    from ..solvers import posegraph as pg
+
+    n_edge = mesh.shape[mesh_mod.EDGE_AXIS]
+    n_point = mesh.shape[mesh_mod.POINT_AXIS]
+    edges = pad_edges(edges, n_edge)
+    F = fs.num_frames
+    N = fs.num_points
+    assert N % n_point == 0, (N, n_point)
+    free = (~fs.fixed).astype(fs.points.dtype)
+    free6 = jnp.repeat(free, 6)
+
+    def device_fn(fs_rep, edges_loc):
+        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
+        (idxs, dists, oks, weights, starts, nloc,
+         uncovered) = _device_correspondences(fs_rep, edges_loc, cfg, N,
+                                              n_point)
+
+        if cfg.comm == "blocks":
+            src_all = jax.lax.all_gather(
+                src_idx, mesh_mod.EDGE_AXIS, tiled=True, axis=0)
+            dst_all = jax.lax.all_gather(
+                dst_idx, mesh_mod.EDGE_AXIS, tiled=True, axis=0)
+
+        def build_system(xs):
+            def edge_terms(e):
+                src, dst = src_idx[e], dst_idx[e]
+                p = jax.lax.dynamic_slice_in_dim(
+                    fs_rep.points[src], starts[e], nloc, axis=0)
+                q = fs_rep.points[dst][idxs[e]]
+                nrm = fs_rep.normals[dst][idxs[e]]
+                x_h, x_k = xs[src], xs[dst]
+                r, Jh, Jk = res_mod.residuals_and_jacobians(
+                    pg.SE3, "point_to_point", x_h, x_k, p, q, None)
+                ng = se3.rotate_only(x_k, nrm)
+                return pg._gicp_terms(r, Jh, Jk, ng, e_precision,
+                                      oks[e].astype(p.dtype),
+                                      point_to_plane)
+
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.vmap(edge_terms)(
+                jnp.arange(edges_loc.shape[0]))
+            cost = jax.lax.psum(jnp.sum(cost_e),
+                                (mesh_mod.EDGE_AXIS, mesh_mod.POINT_AXIS))
+            if cfg.comm == "blocks":
+                gh, gk, hhh, hhk, hkk = [
+                    jax.lax.all_gather(
+                        jax.lax.psum(x, mesh_mod.POINT_AXIS),
+                        mesh_mod.EDGE_AXIS, tiled=True, axis=0)
+                    for x in (g_h, g_k, H_hh, H_hk, H_kk)]
+                G, H = assemble.assemble_dense(
+                    F, src_all, dst_all, gh, gk, hhh, hhk, hkk)
+            else:
+                G, H = assemble.assemble_dense(
+                    F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
+                G = jax.lax.psum(G, (mesh_mod.EDGE_AXIS,
+                                     mesh_mod.POINT_AXIS))
+                H = jax.lax.psum(H, (mesh_mod.EDGE_AXIS,
+                                     mesh_mod.POINT_AXIS))
+            g = G.reshape(F * 6) * free6
+            Hm = H.reshape(F * 6, F * 6)
+            Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+            return cost, g, Hm
+
+        def apply_delta(xs, delta):
+            d = delta.reshape(F, 6) * free[:, None]
+            return jax.vmap(pg.SE3.boxplus)(xs, d)
+
+        poses, hist, rounds = pg.chi2_outer_loop(
+            fs_rep.poses, build_system, apply_delta,
+            outer_rounds=outer_rounds, inner_iterations=inner_iterations,
+            stagnant_break=stagnant_break)
+        return poses, hist, rounds, uncovered
+
+    poses, hist, rounds, uncovered = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P(mesh_mod.EDGE_AXIS)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(fs, edges)
+    return fs.replace(poses=poses), hist, rounds, uncovered
 
 
 def run_icp_sharded(fs: frameset.FrameSet, cfg: ICPConfig, mesh,

@@ -58,6 +58,24 @@ class LMState(NamedTuple):
     iteration: jnp.ndarray
     done: jnp.ndarray
     converged: jnp.ndarray
+    reason: jnp.ndarray
+
+
+# Termination reason codes (LMStats.reason) — the information Ceres'
+# FullReport() prints per solve ("Termination: CONVERGENCE ...",
+# icp-ceres.cpp:91-95). Index into TERMINATION_REASONS for the name.
+REASON_MAX_ITERATIONS = 0      # budget exhausted, not converged
+REASON_FUNCTION_TOLERANCE = 1  # |Δcost| <= ftol * cost
+REASON_GRADIENT_TOLERANCE = 2  # max|g| <= gtol
+REASON_PARAMETER_TOLERANCE = 3  # |step| <= xtol * (|x| + xtol)
+REASON_RADIUS_COLLAPSED = 4    # trust region shrank to nothing
+TERMINATION_REASONS = (
+    "NO_CONVERGENCE (max iterations)",
+    "CONVERGENCE (function tolerance)",
+    "CONVERGENCE (gradient tolerance)",
+    "CONVERGENCE (parameter tolerance)",
+    "NO_CONVERGENCE (trust region collapsed)",
+)
 
 
 class LMStats(NamedTuple):
@@ -65,6 +83,21 @@ class LMStats(NamedTuple):
     final_cost: jnp.ndarray
     grad_max: jnp.ndarray
     converged: jnp.ndarray
+    reason: jnp.ndarray
+
+
+def reason_str(stats: "LMStats") -> str:
+    """Human-readable termination reason (FullReport's headline line)."""
+    return TERMINATION_REASONS[int(stats.reason)]
+
+
+def report(stats: "LMStats") -> str:
+    """Compact per-solve report — the Ceres FullReport() equivalent the
+    reference prints for every multiview solve (icp-ceres.cpp:94)."""
+    return (f"LM: iterations={int(stats.iterations)}  "
+            f"final_cost={float(stats.final_cost):.6g}  "
+            f"max|grad|={float(stats.grad_max):.3g}  "
+            f"termination={reason_str(stats)}")
 
 
 def lm_solve(x0: jnp.ndarray,
@@ -99,6 +132,7 @@ def lm_solve(x0: jnp.ndarray,
         iteration=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
+        reason=jnp.asarray(REASON_MAX_ITERATIONS, jnp.int32),
     )
 
     def cond(s: LMState):
@@ -153,6 +187,17 @@ def lm_solve(x0: jnp.ndarray,
         # a degenerate trust region also terminates
         dead = radius < 1e-32
         done = jnp.logical_or(converged, dead)
+        # first-to-fire criterion, Ceres check order: gradient, then the
+        # accepted-step tests, then the degenerate radius
+        acc_f = jnp.logical_and(accept, f_conv)
+        acc_x = jnp.logical_and(accept, x_conv)
+        reason = jnp.where(
+            g_conv, REASON_GRADIENT_TOLERANCE,
+            jnp.where(acc_f, REASON_FUNCTION_TOLERANCE,
+                      jnp.where(acc_x, REASON_PARAMETER_TOLERANCE,
+                                jnp.where(dead, REASON_RADIUS_COLLAPSED,
+                                          REASON_MAX_ITERATIONS))))
+        reason = jnp.where(done, reason, s.reason).astype(jnp.int32)
 
         pick = lambda a, b: jnp.where(accept, a, b)
         return LMState(
@@ -165,6 +210,7 @@ def lm_solve(x0: jnp.ndarray,
             iteration=s.iteration + 1,
             done=done,
             converged=converged,
+            reason=reason,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -173,6 +219,7 @@ def lm_solve(x0: jnp.ndarray,
         final_cost=final.cost,
         grad_max=jnp.max(jnp.abs(final.grad)),
         converged=final.converged,
+        reason=final.reason,
     )
     return final.x, stats
 
@@ -249,6 +296,15 @@ def refine_pairwise(pose7, src, dst, nor=None, *,
     Returns (pose7_refined, per-step cost history).
     """
     param = res_mod.PARAMS["se3"]   # tangent space choice is free here
+    if not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            "refine_pairwise: jax_enable_x64 is off — the f64 polish runs "
+            "in f32 and cannot improve on solve_pairwise; set "
+            "JAX_ENABLE_X64=1 (or jax.config.update('jax_enable_x64', "
+            "True)) at startup to get reference-grade accuracy",
+            stacklevel=2)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else src.dtype
     x = jnp.asarray(pose7, dtype)
     x = x.at[:4].set(x[:4] / jnp.linalg.norm(x[:4]))

@@ -84,7 +84,7 @@ def _gicp_terms(r, Jh, Jk, ng, e_prec, wmask, point_to_plane):
 
 def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
                       corr: Correspondences, point_to_plane: bool,
-                      e_precision: float):
+                      e_precision: float, vectorize_edges: bool = True):
     """(build_system, apply_delta) closures over the GICP edge set."""
     F = fs.num_frames
     free = (~fs.fixed).astype(fs.points.dtype)
@@ -106,16 +106,20 @@ def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
             return _gicp_terms(r, Jh, Jk, ng, e_precision, vmask[e],
                                point_to_plane)
 
-        cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
-            edge_terms, jnp.arange(edges.shape[0]))
+        # vmap batches the per-edge einsums into single MXU contractions
+        # (the LM path's vectorize_edges pattern, multiview.py); lax.map
+        # is the low-memory fallback for very large edge counts.
+        if vectorize_edges:
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.vmap(edge_terms)(
+                jnp.arange(edges.shape[0]))
+        else:
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
+                edge_terms, jnp.arange(edges.shape[0]))
         cost = jnp.sum(cost_e)
-        G = jnp.zeros((F, 6), dtype=cost.dtype)
-        G = G.at[src_idx].add(g_h).at[dst_idx].add(g_k)
-        H = jnp.zeros((F, 6, F, 6), dtype=cost.dtype)
-        H = H.at[src_idx, :, src_idx, :].add(H_hh)
-        H = H.at[dst_idx, :, dst_idx, :].add(H_kk)
-        H = H.at[src_idx, :, dst_idx, :].add(H_hk)
-        H = H.at[dst_idx, :, src_idx, :].add(jnp.swapaxes(H_hk, -1, -2))
+        from ..parallel import assemble
+
+        G, H = assemble.assemble_dense(
+            F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
         g = G.reshape(F * 6) * free6
         Hm = H.reshape(F * 6, F * 6)
         Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
@@ -126,6 +130,46 @@ def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
         return jax.vmap(SE3.boxplus)(xs, d)
 
     return build_system, apply_delta
+
+
+def chi2_outer_loop(poses, build_system, apply_delta, *,
+                    outer_rounds: int = 100, inner_iterations: int = 100,
+                    stagnant_break: int = 6, rel_improvement: float = 1e-6):
+    """The g2o chi2-monitored outer loop (icp-g2o.cpp:261-303) as one
+    ``lax.while_loop`` over inner LM solves, over ANY build_system —
+    single-device (:func:`solve_posegraph_fused`) or a shard_map'd one
+    with psum'd normal equations (parallel/sharded.sharded_posegraph_round).
+
+    Returns (poses', chi2 history [outer_rounds] — NaN past the break,
+    rounds_run int32)."""
+    cfg = lm_mod.LMConfig(max_iterations=inner_iterations)
+    dtype = poses.dtype
+
+    def inner(p):
+        xs, stats = lm_mod.lm_solve(p, build_system, apply_delta, cfg)
+        return xs, 2.0 * stats.final_cost
+
+    def cond(carry):
+        _, _, stagnant, i, _ = carry
+        return jnp.logical_and(i < outer_rounds,
+                               stagnant < stagnant_break)
+
+    def body(carry):
+        poses, last, stagnant, i, hist = carry
+        poses, chi2 = inner(poses)
+        impr = (last - chi2) / jnp.maximum(last, 1e-30)
+        first = ~jnp.isfinite(last)
+        stagnant = jnp.where(
+            jnp.logical_or(first, impr > rel_improvement),
+            0, stagnant + 1)
+        return (poses, chi2, stagnant, i + 1, hist.at[i].set(chi2))
+
+    hist0 = jnp.full(outer_rounds, jnp.nan, dtype)
+    poses, _, _, rounds, hist = jax.lax.while_loop(
+        cond, body,
+        (poses, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32), hist0))
+    return poses, hist, rounds
 
 
 @partial(jax.jit, static_argnames=("point_to_plane", "config"))
@@ -165,33 +209,10 @@ def solve_posegraph_fused(fs: FrameSet, edges: jnp.ndarray,
     """
     build_system, apply_delta = _posegraph_system(
         fs, edges, corr, point_to_plane, e_precision)
-    cfg = lm_mod.LMConfig(max_iterations=inner_iterations)
-    dtype = fs.points.dtype
-
-    def inner(poses):
-        xs, stats = lm_mod.lm_solve(poses, build_system, apply_delta, cfg)
-        return xs, 2.0 * stats.final_cost
-
-    def cond(carry):
-        _, _, stagnant, i, _ = carry
-        return jnp.logical_and(i < outer_rounds,
-                               stagnant < stagnant_break)
-
-    def body(carry):
-        poses, last, stagnant, i, hist = carry
-        poses, chi2 = inner(poses)
-        impr = (last - chi2) / jnp.maximum(last, 1e-30)
-        first = ~jnp.isfinite(last)
-        stagnant = jnp.where(
-            jnp.logical_or(first, impr > rel_improvement),
-            0, stagnant + 1)
-        return (poses, chi2, stagnant, i + 1, hist.at[i].set(chi2))
-
-    hist0 = jnp.full(outer_rounds, jnp.nan, dtype)
-    poses, _, _, rounds, hist = jax.lax.while_loop(
-        cond, body,
-        (fs.poses, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
-         jnp.asarray(0, jnp.int32), hist0))
+    poses, hist, rounds = chi2_outer_loop(
+        fs.poses, build_system, apply_delta, outer_rounds=outer_rounds,
+        inner_iterations=inner_iterations, stagnant_break=stagnant_break,
+        rel_improvement=rel_improvement)
     return fs.replace(poses=poses), hist, rounds
 
 

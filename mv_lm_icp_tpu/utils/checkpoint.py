@@ -27,12 +27,14 @@ def save(path: str, fs, round_idx: int = 0, rng_key=None, extra=None):
 
 
 def restore(path: str, fs):
-    """Returns (fs with restored poses, round_idx, rng_key or None)."""
+    """Returns (fs with restored poses/gt_poses/fixed, round_idx,
+    rng_key or None)."""
     import jax.numpy as jnp
 
     data = np.load(path)
     fs = fs.replace(
         poses=jnp.asarray(data["poses"], fs.poses.dtype),
+        gt_poses=jnp.asarray(data["gt_poses"], fs.gt_poses.dtype),
         fixed=jnp.asarray(data["fixed"]),
     )
     rng = data["rng_key"] if "rng_key" in data else None

@@ -37,6 +37,45 @@ def alignment_rmse(fs) -> float:
     return float(jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)))
 
 
+class DivergenceWatch:
+    """Detect a diverging ICP run: the tracked metric (alignment RMSE or
+    cost) rising ``patience`` consecutive rounds.
+
+    The reference's divergence detector is its interactive viewer (you
+    watch the red frusta drift from the green ones, Visualize.cpp:243-245);
+    headless runs need an automatic one. The known failure mode is
+    low-overlap creep (step=8 Bunny: RMSE 0.0149 -> 0.037 over 20 rounds,
+    BENCHMARKS.md 'low-overlap drift'), fixed by the median-prune
+    rejection — so the warning suggests ``--prune`` when it is off.
+    """
+
+    def __init__(self, patience: int = 3):
+        self.patience = patience
+        self.prev = None
+        self.rising = 0
+        self.fired = False
+
+    def update(self, value: float, prune_on: bool = False) -> bool:
+        """Feed this round's metric; True (+ a UserWarning) on divergence."""
+        import warnings
+
+        if self.prev is not None and value > self.prev:
+            self.rising += 1
+        else:
+            self.rising = 0
+        self.prev = value
+        if self.rising >= self.patience and not self.fired:
+            self.fired = True
+            hint = ("" if prune_on else
+                    " — try --prune (rejects matches with dist > "
+                    "1.5*median; stabilizes low-overlap scenes)")
+            warnings.warn(
+                f"ICP appears to be DIVERGING: the alignment metric rose "
+                f"{self.rising} consecutive rounds{hint}", stacklevel=2)
+            return True
+        return False
+
+
 def pose_diff_report(poses, gt_poses, label: str = "") -> str:
     """Reference-style per-frame accuracy lines (common.h:278-280)."""
     dt, dr = pose_errors(poses, gt_poses)

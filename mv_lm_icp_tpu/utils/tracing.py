@@ -40,8 +40,11 @@ def annotate(name: str):
 
 def lm_report(stats, label: str = "LM") -> str:
     """Compact solver report — the stand-in for Ceres FullReport()
-    (icp-ceres.cpp:94)."""
+    (icp-ceres.cpp:94), including the termination reason."""
+    from ..solvers.lm import reason_str
+
     return (f"{label}: iterations={int(stats.iterations)} "
             f"final_cost={float(stats.final_cost):.6g} "
             f"|grad|_max={float(stats.grad_max):.3g} "
-            f"converged={bool(stats.converged)}")
+            f"converged={bool(stats.converged)} "
+            f"termination={reason_str(stats)}")

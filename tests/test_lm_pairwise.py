@@ -131,3 +131,37 @@ class TestRobustAndMasking:
         dt, dr = se3.pose_diff(est_lm, est_cf)
         assert float(dt) < 1e-9
         assert float(dr) < 1e-5
+
+
+class TestTerminationReasons:
+    """FullReport-equivalent termination reporting (icp-ceres.cpp:91-95):
+    the reason enum must name WHY the solve stopped, and the pairwise
+    fixture must converge within the reference's <=50-iteration budget
+    (icp-ceres.cpp:51) by an actual tolerance, not the budget."""
+
+    def test_converged_reason_and_budget_parity(self):
+        src, dst, nor, gt = make_problem()
+        pose, stats = lm.solve_pairwise(src, dst, nor, param_name="se3",
+                                        metric="point_to_plane")
+        assert bool(stats.converged)
+        assert int(stats.iterations) <= 50
+        assert lm.reason_str(stats) in (
+            lm.TERMINATION_REASONS[lm.REASON_FUNCTION_TOLERANCE],
+            lm.TERMINATION_REASONS[lm.REASON_GRADIENT_TOLERANCE],
+            lm.TERMINATION_REASONS[lm.REASON_PARAMETER_TOLERANCE])
+
+    def test_max_iterations_reason(self):
+        src, dst, nor, gt = make_problem()
+        cfg = lm.LMConfig(max_iterations=1, function_tolerance=0.0,
+                          gradient_tolerance=0.0, parameter_tolerance=0.0)
+        _, stats = lm.solve_pairwise(src, dst, nor, param_name="se3",
+                                     metric="point_to_plane", config=cfg)
+        assert not bool(stats.converged)
+        assert int(stats.reason) == lm.REASON_MAX_ITERATIONS
+        assert "max iterations" in lm.reason_str(stats)
+
+    def test_report_string(self):
+        src, dst, nor, gt = make_problem()
+        _, stats = lm.solve_pairwise(src, dst, nor)
+        rep = lm.report(stats)
+        assert "termination=" in rep and "iterations=" in rep

@@ -303,3 +303,57 @@ class TestDinosaur:
         _, d2 = nn.nn_1(ga, gb, jnp.ones(gb.shape[0], bool), chunk=512)
         frac_close = float(jnp.mean(jnp.sqrt(d2) < 5.0))
         assert frac_close > 0.5, frac_close
+
+
+class TestDivergenceWatch:
+    """Headless divergence detection (VERDICT r2 #8): the known failure
+    mode is low-overlap creep (step=8 Bunny, BENCHMARKS.md) where RMSE
+    rises round over round; the watch must warn and suggest --prune."""
+
+    def test_warns_on_monotone_rise(self):
+        import warnings
+
+        from mv_lm_icp_tpu.utils import metrics
+
+        w = metrics.DivergenceWatch(patience=3)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            fired = [w.update(v) for v in [0.010, 0.012, 0.014, 0.016]]
+        assert fired == [False, False, False, True]
+        assert len(rec) == 1 and "--prune" in str(rec[0].message)
+
+    def test_silent_on_convergence(self):
+        import warnings
+
+        from mv_lm_icp_tpu.utils import metrics
+
+        w = metrics.DivergenceWatch(patience=3)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            for v in [0.02, 0.015, 0.016, 0.014, 0.013, 0.012]:
+                w.update(v)
+        assert not rec
+
+    def test_no_prune_hint_when_prune_on(self):
+        import warnings
+
+        from mv_lm_icp_tpu.utils import metrics
+
+        w = metrics.DivergenceWatch(patience=2)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            for v in [1.0, 2.0, 3.0]:
+                w.update(v, prune_on=True)
+        assert len(rec) == 1 and "--prune" not in str(rec[0].message)
+
+    def test_fires_once(self):
+        from mv_lm_icp_tpu.utils import metrics
+
+        w = metrics.DivergenceWatch(patience=2)
+        import warnings
+
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            for v in [1.0, 2.0, 3.0, 4.0, 5.0]:
+                w.update(v)
+        assert len(rec) == 1

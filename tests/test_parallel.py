@@ -183,3 +183,43 @@ class TestShardedWindow:
         m = mesh_mod.make_mesh(shape=shape)
         _, unc = sharded.sharded_icp_round(fs, edges, cfg, m)
         assert int(unc) > 0
+
+
+class TestShardedPosegraph:
+    """The GICP pose-graph solver (g2o equivalent, icp-g2o.cpp:149-315)
+    under the mesh must match the single-device fused chi2 loop — same
+    rounds run, same poses (SURVEY §7.2.9's sharded-scene obligation)."""
+
+    @pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+    def test_gicp_round_parity(self, shape):
+        from mv_lm_icp_tpu.models import correspond
+        from mv_lm_icp_tpu.solvers import posegraph
+
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        cfg = cfg_for_tests(rounds=1)
+        edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+        corr = correspond.find_correspondences(fs, edges, cfg.cutoff,
+                                               chunk=cfg.nn_chunk)
+        fs_single, hist_s, rounds_s = posegraph.solve_posegraph_fused(
+            fs, edges, corr, point_to_plane=True)
+        m = mesh_mod.make_mesh(shape=shape)
+        fs_shard, hist_m, rounds_m, unc = sharded.sharded_posegraph_round(
+            fs, edges, cfg, m, point_to_plane=True)
+        assert int(unc) == 0
+        assert int(rounds_m) == int(rounds_s)
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(hist_m[:int(rounds_m)]),
+            np.asarray(hist_s[:int(rounds_s)]), rtol=1e-4)
+
+    def test_gicp_blocks_equals_dense(self):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=3)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        m = mesh_mod.make_mesh(shape=(2, 4))
+        fs_b, _, _, _ = sharded.sharded_posegraph_round(
+            fs, edges, cfg_for_tests(rounds=1, comm="blocks"), m)
+        fs_d, _, _, _ = sharded.sharded_posegraph_round(
+            fs, edges, cfg_for_tests(rounds=1, comm="dense"), m)
+        np.testing.assert_allclose(np.asarray(fs_b.poses),
+                                   np.asarray(fs_d.poses), atol=1e-7)

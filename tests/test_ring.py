@@ -123,3 +123,31 @@ class TestRingWindow:
                                  nn_chunk=256, use_window=True, window=16)
         _, unc = ring.ring_icp_round(fs, cfg, ring_mesh(4))
         assert int(unc) > 0
+
+
+class TestRingPallas:
+    """Both Pallas kernels dispatched inside the ring shard_map (the
+    HBM-limited regime they exist for, VERDICT r2 #4) must match the
+    XLA backends bit-close."""
+
+    def test_brute_pallas_parity(self):
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=21)
+        mesh = ring_mesh(4)
+        fs_xla, _ = ring.ring_icp_round(fs, cfg_for(), mesh)
+        fs_pls, _ = ring.ring_icp_round(fs, cfg_for(use_pallas=True), mesh)
+        np.testing.assert_allclose(np.asarray(fs_pls.poses),
+                                   np.asarray(fs_xla.poses), atol=1e-6)
+
+    def test_window_pallas_parity(self):
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=21)
+        mesh = ring_mesh(4)
+        fs_xla, unc_x = ring.ring_icp_round(
+            fs, cfg_for(use_window=True, window=128), mesh)
+        fs_pls, unc_p = ring.ring_icp_round(
+            fs, cfg_for(use_window=True, window=128, use_pallas=True),
+            mesh)
+        assert int(unc_x) == 0 and int(unc_p) == 0
+        np.testing.assert_allclose(np.asarray(fs_pls.poses),
+                                   np.asarray(fs_xla.poses), atol=1e-6)
