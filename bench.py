@@ -162,27 +162,43 @@ def main():
         log(f"NN exactness probe skipped: {e}")
 
     # secondary: mixed-precision accuracy (f32 LM + 3 f64 GN polish steps)
-    # in a subprocess because it needs jax_enable_x64 from startup
+    # in a subprocess because it needs jax_enable_x64 from startup. The
+    # probe runs on a strided cloud (accuracy is size-independent) and
+    # hits the committed .jax_cache so cold remote compiles can't blow
+    # the budget (the round-2 failure mode). Three outcomes are kept
+    # distinct: measured, accuracy REGRESSION, environment skip.
     try:
         import os
         import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
-        env = dict(os.environ, JAX_ENABLE_X64="1")
+        env = dict(os.environ, JAX_ENABLE_X64="1",
+                   PYTHONPATH=here + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
         out = subprocess.run(
             [sys.executable, os.path.join(here, "benchmarks",
                                           "accuracy_f64.py")],
-            env=env, capture_output=True, text=True, timeout=900)
+            env=env, capture_output=True, text=True, timeout=600)
         line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-        acc = json.loads(line)
-        log(f"f64-refined accuracy ({acc['backend']}): "
-            f"diff_tra {acc['f32_diff_tra']:.2e} (f32) -> "
-            f"{acc['diff_tra']:.2e} (+3 GN f64 steps, "
-            f"{acc['refine_ms_naive']:.0f} ms naive); reference f64 "
-            "Ceres: ~6e-11 (README.md:142-150)")
-        assert acc["diff_tra"] < 1e-10, acc
+        if not line:
+            log("f64 accuracy probe skipped (no output); stderr tail: "
+                + "\n".join(out.stderr.strip().splitlines()[-4:]))
+        else:
+            acc = json.loads(line)
+            log(f"f64-refined accuracy ({acc['backend']}, "
+                f"{acc['n_points']} pts): "
+                f"diff_tra {acc['f32_diff_tra']:.2e} (f32) -> "
+                f"{acc['diff_tra']:.2e} (+3 GN f64 steps, "
+                f"{acc['refine_ms_naive']:.0f} ms naive); reference f64 "
+                "Ceres: ~6e-11 (README.md:142-150)")
+            if not acc["diff_tra"] < 1e-10:
+                log(f"f64 accuracy REGRESSION: diff_tra "
+                    f"{acc['diff_tra']:.3e} >= 1e-10 — investigate")
+    except subprocess.TimeoutExpired as e:
+        log(f"f64 accuracy probe skipped (timeout {e.timeout}s — cold "
+            "compile cache?); re-run benchmarks/accuracy_f64.py manually")
     except Exception as e:
-        log(f"f64 accuracy probe skipped: {e}")
+        log(f"f64 accuracy probe skipped ({type(e).__name__}: {e})")
 
     result = {
         "metric": "pairwise_p2pl_se3_lm_solve",

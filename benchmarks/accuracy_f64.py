@@ -10,15 +10,27 @@ Prints one JSON line: {"diff_tra":..., "diff_rot_deg":...,
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def main():
-    import os
+
+def main(argv=None):
+    import argparse
 
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    # accuracy is size-independent (the probe measures the f64 Gauss-
+    # Newton fixed point, not statistics); stride 4 shrinks the compile
+    # surface ~4x so the probe survives cold remote-compile tunnels
+    # (the round-2 driver bench timed it out at full size)
+    ap.add_argument("--stride", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args(argv)
 
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
@@ -38,6 +50,8 @@ def main():
     from mv_lm_icp_tpu.utils import datasets
 
     pts_np, nor_np = datasets.load_single_cloud()
+    pts_np = pts_np[::args.stride]
+    nor_np = nor_np[::args.stride]
     pts64 = jnp.asarray(pts_np, jnp.float64)
     nor64 = jnp.asarray(nor_np, jnp.float64)
     gt = se3.add_noise(jax.random.PRNGKey(42),
@@ -56,7 +70,7 @@ def main():
                                 metric="point_to_plane", iters=3)
     jax.block_until_ready(ref)          # compile
     t0 = time.perf_counter()
-    reps = 5
+    reps = args.reps
     for i in range(reps):
         # index-perturbed input (negligible physics) so no dispatch/result
         # cache can skip the execution; (i+1) so the first timed rep also
@@ -69,6 +83,7 @@ def main():
     dt, dr = se3.pose_diff(gt, ref)
     print(json.dumps({
         "backend": jax.devices()[0].platform,
+        "n_points": int(pts_np.shape[0]),
         "f32_diff_tra": float(dt32),
         "diff_tra": float(dt),
         "diff_rot_deg": float(dr),

@@ -82,15 +82,48 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
                        cutoff: float = 0.05,
                        metric: str = "point_to_plane",
                        parameterization: str = "se3", robust: bool = True,
+                       loss: str = "soft_l1",
                        method: str = "lm", recompute_normals: bool = False,
                        use_pallas: bool = False, dtype=jnp.float32,
-                       fixed_first: bool = True):
+                       fixed_first: bool = True,
+                       # CLI-parity knobs (the 19-flag surface + framework
+                       # extensions, main_multiview.cpp:30-51):
+                       prune: bool = False,
+                       fixed_src_edges: bool = False,
+                       window: Optional[int] = None,
+                       schur: bool = False,
+                       fused: bool = False,
+                       sharded: bool = False, mesh=None,
+                       refine: int = 0,
+                       max_iterations: int = 50):
     """Joint multiview registration (the reference's multiview app as a
     function). ``clouds`` is a list of (Ni, 3) arrays or a FrameSet.
 
-    Returns (FrameSet with refined poses, history list).
+    Framework knobs (each maps 1:1 onto a CLI flag):
+
+    - ``prune``: reject matches with dist > 1.5*median (``--prune``);
+    - ``fixed_src_edges``: keep correspondences whose source frame is
+      gauge-fixed (extra gauge anchoring; see models/correspond.py);
+    - ``window``: sorted-window NN with W rows (``--window W``) — the
+      large-cloud backend; combine with ``use_pallas`` for the
+      scalar-prefetch kernel;
+    - ``schur``: Schur-eliminate an independent frame set before the
+      dense solve (``--schur``);
+    - ``fused``: run all rounds as ONE on-device program (``--fused``;
+      max throughput, history carries per-round cost only);
+    - ``sharded``: distribute over ``mesh`` (or all visible devices)
+      via shard_map (``--sharded``); LM and GICP both supported;
+    - ``refine``: polish the final poses with that many f64 Gauss-Newton
+      steps of the JOINT problem (needs jax_enable_x64);
+    - ``loss``: "soft_l1" (Ceres semantics) or "soft_l1_norm"
+      (scale-normalized TRF semantics; ops/robust.py).
+
+    Returns (FrameSet with refined poses, history list). Each history
+    entry includes the per-round ``uncovered`` window-coverage counter
+    (0 on non-window backends) — nonzero means raise ``window``.
     """
     from .models import frameset, pipeline
+    from .solvers import lm as lm_mod
     from .utils import datasets
 
     if isinstance(clouds, frameset.FrameSet):
@@ -115,21 +148,112 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
         fs = frameset.from_raw(raw, dtype=dtype, fix_first=fixed_first,
                                recompute_normals=recompute_normals)
 
-    cfg = pipeline.ICPConfig(rounds=rounds, knn=knn, cutoff=cutoff,
-                             metric=metric, param_name=parameterization,
-                             robust=robust, use_pallas=use_pallas)
-    if method == "gicp":
-        from .models import correspond, frameset as fsm
-        from .solvers import posegraph
+    cfg = pipeline.ICPConfig(
+        rounds=rounds, knn=knn, cutoff=cutoff, metric=metric,
+        param_name=parameterization, robust=robust, loss=loss,
+        use_pallas=use_pallas, prune=prune,
+        fixed_src_edges=fixed_src_edges,
+        use_window=window is not None, window=window or 8192,
+        lm=lm_mod.LMConfig(max_iterations=max_iterations))
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    if schur:
+        cfg = pipeline.enable_schur(cfg, fs, edges)
 
-        edges = fsm.knn_pose_graph(fs.poses, cfg.knn)
+    if sharded and mesh is None:
+        from .parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
+
+    if method == "gicp":
+        fs, history = _multiview_gicp(fs, edges, cfg, metric,
+                                      sharded=sharded, mesh=mesh)
+    elif fused:
+        fs, costs, unc = pipeline.run_icp_fused(fs, cfg)
+        history = [dict(round=i, cost=float(c), uncovered=int(u))
+                   for i, (c, u) in enumerate(zip(costs, unc))]
+    elif sharded:
+        from .parallel import sharded as sharded_mod
+
         history = []
-        for _ in range(rounds):
+        for i in range(rounds):
+            fs, unc = sharded_mod.sharded_icp_round(fs, edges, cfg, mesh)
+            history.append(dict(round=i, uncovered=int(unc)))
+    else:
+        fs, history = pipeline.run_icp(fs, cfg)
+
+    if refine:
+        fs, costs = refine_multiview(fs, edges, cfg, iters=refine)
+        history.append(dict(refine_cost_history=[float(c) for c in costs]))
+    return fs, history
+
+
+def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None):
+    """GICP (g2o-equivalent) outer ICP loop, optionally mesh-sharded."""
+    from .models import correspond
+    from .solvers import posegraph
+
+    history = []
+    p2pl = metric == "point_to_plane"
+    for i in range(cfg.rounds):
+        if sharded and mesh is not None:
+            from .parallel import sharded as sharded_mod
+
+            fs, chi2_hist, g2o_rounds, unc = \
+                sharded_mod.sharded_posegraph_round(
+                    fs, edges, cfg, mesh, point_to_plane=p2pl)
+            history.append({"chi2": float(chi2_hist[int(g2o_rounds) - 1]),
+                            "g2o_rounds": int(g2o_rounds),
+                            "uncovered": int(unc)})
+        else:
             corr = correspond.find_correspondences(
-                fs, edges, cfg.cutoff, use_pallas=use_pallas)
-            fs, chi2 = posegraph.solve_posegraph(
-                fs, edges, corr,
-                point_to_plane=(metric == "point_to_plane"))
-            history.append({"chi2": chi2[-1]})
-        return fs, history
-    return pipeline.run_icp(fs, cfg)
+                fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
+                use_window=cfg.use_window, window=cfg.window,
+                prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+            fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
+                fs, edges, corr, point_to_plane=p2pl)
+            history.append({"chi2": float(chi2_hist[int(g2o_rounds) - 1]),
+                            "g2o_rounds": int(g2o_rounds)})
+    return fs, history
+
+
+def refine_multiview(fs, edges, cfg, iters: int = 3):
+    """Polish converged multiview poses with f64 Gauss-Newton steps of the
+    joint problem (the pairwise lm.refine_pairwise, lifted to the frame
+    graph). Requires jax_enable_x64 for an actual precision gain; warns
+    otherwise. Returns (FrameSet, per-step cost history)."""
+    import jax
+    import jax.numpy as jnp
+    import warnings
+
+    from .models import correspond
+    from .solvers import lm as lm_mod, multiview as mv
+    from .ops import residuals as res_mod
+
+    if not jax.config.jax_enable_x64:
+        warnings.warn(
+            "refine_multiview: jax_enable_x64 is off — the f64 polish "
+            "runs in f32; set JAX_ENABLE_X64=1 at startup", stacklevel=2)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else fs.points.dtype
+    fs64 = fs.replace(
+        points=fs.points.astype(dtype), normals=fs.normals.astype(dtype),
+        poses=fs.poses.astype(dtype), gt_poses=fs.gt_poses.astype(dtype))
+    corr = correspond.find_correspondences(
+        fs64, edges, cfg.cutoff, chunk=cfg.nn_chunk, prune=cfg.prune,
+        fixed_src_edges=cfg.fixed_src_edges)
+    param = res_mod.PARAMS["se3"]
+    system = mv.make_multiview_system(param, cfg.metric, fs64, edges, corr,
+                                      robust=cfg.robust, loss=cfg.loss)
+    free = (~fs64.fixed).astype(dtype)
+    xs = jax.vmap(param.from_pose7)(fs64.poses)
+    costs = []
+    for _ in range(iters):
+        cost, g, H = system(xs)
+        Hd = H + 1e-12 * jnp.diag(jnp.diagonal(H))
+        delta = jnp.linalg.solve(Hd, -g)
+        d = delta.reshape(fs64.num_frames, 6) * free[:, None]
+        xs = jax.vmap(param.boxplus)(xs, d)
+        costs.append(cost)
+    poses = jax.vmap(param.to_pose7)(xs)
+    # keep the refined precision in the poses (the clouds stay at the
+    # original dtype; mixed-leaf pytrees are fine)
+    return fs.replace(poses=poses), costs

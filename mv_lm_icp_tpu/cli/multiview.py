@@ -43,6 +43,14 @@ def build_parser():
                    help="load frame 0 repeatedly")
     p.add_argument("--limit", type=int, default=40)
     p.add_argument("--step", type=int, default=2)
+    p.add_argument("--relocalize-gt", dest="relocalize_gt",
+                   action="store_true",
+                   help="re-express each cloud in its own camera frame "
+                        "via the groundtruth file (dinosaur-style "
+                        "datasets whose shipped clouds are ALREADY "
+                        "registered — applying the pose files to them "
+                        "scatters the scene; see "
+                        "utils/datasets.load_raw_frames)")
     p.add_argument("--recomputeNormals", dest="recompute_normals",
                    action="store_true", default=True)
     p.add_argument("--no-recomputeNormals", dest="recompute_normals",
@@ -54,6 +62,19 @@ def build_parser():
                         "reference's commented-out outlier rejection, "
                         "frame.cpp:178-183; stabilizes low-overlap "
                         "scenes)")
+    p.add_argument("--anchor-edges", dest="anchor_edges",
+                   action="store_true",
+                   help="keep correspondences whose SOURCE frame is "
+                        "gauge-fixed (the reference drops them, "
+                        "frame.cpp:93, losing the anchoring through "
+                        "frame 0's viewpoint; improves low-overlap "
+                        "registration — see models/correspond.py)")
+    p.add_argument("--loss", choices=["soft_l1", "soft_l1_norm"],
+                   default="soft_l1",
+                   help="robust loss family when --robust: soft_l1 = "
+                        "Ceres SoftLOneLoss semantics (reference "
+                        "default); soft_l1_norm = scale-normalized TRF "
+                        "semantics (ops/robust.py)")
     # framework extensions
     p.add_argument("--rounds", type=int, default=20)
     p.add_argument("--dtype", choices=["float32", "float64"],
@@ -124,7 +145,8 @@ def main(argv=None):
 
     raw = datasets.load_raw_frames(
         args.dir, limit=args.limit, step=args.step, fake=args.fake,
-        sigma=args.sigma, sigmat=args.sigmat, seed=args.seed)
+        sigma=args.sigma, sigmat=args.sigmat, seed=args.seed,
+        relocalize_with_gt=args.relocalize_gt)
     fs = frameset.from_raw(raw, dtype=dtype,
                            recompute_normals=args.recompute_normals,
                            point_stride=args.point_stride)
@@ -137,10 +159,11 @@ def main(argv=None):
         rounds=args.rounds, knn=args.knn, cutoff=args.cutoff,
         metric=("point_to_plane" if args.point_to_plane
                 else "point_to_point"),
-        param_name=param, robust=args.robust,
+        param_name=param, robust=args.robust, loss=args.loss,
         use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas,
         use_grid=args.grid, use_window=args.window is not None,
-        window=args.window or 8192, prune=args.prune)
+        window=args.window or 8192, prune=args.prune,
+        fixed_src_edges=args.anchor_edges)
 
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     print("graph adjacency matrix == block structure")
@@ -337,7 +360,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
             corr = pipeline.correspond.find_correspondences(
                 fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
                 use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
-                use_window=cfg.use_window, window=cfg.window)
+                use_window=cfg.use_window, window=cfg.window,
+                prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
             if cfg.use_window and int(jnp.sum(corr.uncovered)):
                 # poses drifted past W's coverage: recover loudly —
                 # re-size W at the CURRENT poses and redo the search
@@ -348,7 +372,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 corr = pipeline.correspond.find_correspondences(
                     fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
                     use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
-                    use_window=cfg.use_window, window=cfg.window)
+                    use_window=cfg.use_window, window=cfg.window,
+                    prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             from ..solvers import multiview as mv
@@ -376,6 +401,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
     timer.print_all_timings()
     dt, dr = metrics.mean_pose_error(fs.poses, fs.gt_poses)
     print(f"final alignment RMSE: {metrics.alignment_rmse(fs):.6f}")
+    print(f"final gauge-aligned RMSE: {metrics.gauge_aligned_rmse(fs):.6f}"
+          " (registration quality net of the anchor's own pose error)")
     print(f"mean pose error: tra={dt:.6g} rot={dr:.6g} deg")
     if args.export_ply:
         n = export.write_ply(args.export_ply, fs, include_gt=True)

@@ -45,13 +45,14 @@ class Correspondences:
 
 @partial(jax.jit, static_argnames=("chunk", "use_pallas", "use_grid",
                                    "grid_k", "use_window", "window",
-                                   "prune"))
+                                   "prune", "fixed_src_edges"))
 def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
                          chunk: int = 2048, use_pallas: bool = False,
                          use_grid: bool = False, grid_k: int = 128,
                          use_window: bool = False,
                          window: int = 8192,
-                         prune: bool = False) -> Correspondences:
+                         prune: bool = False,
+                         fixed_src_edges: bool = False) -> Correspondences:
     """All-edges correspondence search (ApproachComponents::
     computeClosestPoints, main_multiview.cpp:119-127).
 
@@ -70,6 +71,16 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
     OUT (frame.cpp:178-183). Off by default to match the reference's
     shipped behaviour; measurably stabilizes low-overlap configurations
     (BENCHMARKS.md 'low-overlap drift').
+
+    ``fixed_src_edges``: also search edges whose SOURCE frame is
+    gauge-fixed. The reference skips them entirely (frame.cpp:93,
+    icp-ceres.cpp:255), which throws away every correspondence anchoring
+    the free frames to the gauge through frame 0's viewpoint; the joint
+    solve handles them exactly (fixed rows/cols are eliminated, the dst
+    blocks still constrain). On the low-overlap dinosaur workload the
+    extra anchoring closes the round-2 accuracy gap vs the independent
+    scipy oracle (which keeps these edges): RMSE 3.49 -> oracle-level.
+    Off by default for reference parity.
     """
     cutoff = jnp.asarray(cutoff, fs.points.dtype)
     src_idx, dst_idx = edges[:, 0], edges[:, 1]
@@ -94,7 +105,8 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
             unc = jnp.zeros(edges.shape[0], jnp.int32)
         dist = jnp.sqrt(d2).astype(fs.points.dtype)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src_idx])
-        ok = jnp.logical_and(ok, ~fs.fixed[src_idx][:, None])
+        if not fixed_src_edges:
+            ok = jnp.logical_and(ok, ~fs.fixed[src_idx][:, None])
         weight = 1.5 * nn.masked_median(dist, ok)
         if prune:
             ok = jnp.logical_and(ok, dist <= weight[:, None])
@@ -128,7 +140,8 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
             unc = jnp.zeros((), jnp.int32)
         dist = jnp.sqrt(d2)
         ok = jnp.logical_and(dist < cutoff, fs.valid[src])
-        ok = jnp.logical_and(ok, ~fs.fixed[src])
+        if not fixed_src_edges:
+            ok = jnp.logical_and(ok, ~fs.fixed[src])
         weight = 1.5 * nn.masked_median(dist, ok)
         if prune:
             ok = jnp.logical_and(ok, dist <= weight)

@@ -36,6 +36,9 @@ class ICPConfig:
     metric: str = "point_to_plane"     # FLAGS_pointToPlane
     param_name: str = "se3"            # FLAGS_sophusSE3 / angleAxis / quat
     robust: bool = True                # FLAGS_robust
+    loss: str = "soft_l1"              # robust family: "soft_l1" (Ceres
+    # semantics, reference default) or "soft_l1_norm" (scale-normalized
+    # TRF semantics; better on low-overlap scenes — ops/robust.py)
     use_autodiff: bool = False         # FLAGS_sophusSE3_autodiff
     nn_chunk: int = 2048
     use_pallas: bool = False
@@ -46,6 +49,9 @@ class ICPConfig:
     prune: bool = False                # reject dist > 1.5*median matches
     # (the reference's commented-out rejection, frame.cpp:178-183;
     # stabilizes low-overlap scenes — BENCHMARKS.md 'low-overlap drift')
+    fixed_src_edges: bool = False      # search edges whose src frame is
+    # gauge-fixed (the reference drops them, frame.cpp:93 — losing all
+    # gauge anchoring through frame 0's viewpoint; see correspond.py)
     schur_elim: Optional[tuple] = None  # independent-set Schur elimination
     comm: str = "blocks"               # distributed exchange: "blocks"
     # (O(E) per-edge 6x6 blocks through psum/all_gather) or "dense"
@@ -59,11 +65,11 @@ def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
         fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
         use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
         grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window,
-        prune=cfg.prune)
+        prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
     fs, stats = mv_mod.solve_multiview(
         fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
         robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm,
-        schur_elim=cfg.schur_elim)
+        schur_elim=cfg.schur_elim, loss=cfg.loss)
     return fs, corr, stats
 
 

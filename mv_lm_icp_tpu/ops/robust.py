@@ -39,4 +39,26 @@ def soft_l1(s: jnp.ndarray, scale) -> tuple:
     return 2.0 * b * (root - 1.0), 1.0 / root
 
 
-LOSSES = {"trivial": trivial, "soft_l1": soft_l1}
+def soft_l1_norm(s: jnp.ndarray, scale) -> tuple:
+    """Scale-NORMALIZED soft-L1: the scipy-TRF formulation — residuals
+    divided by the robust scale, then unit soft_l1:
+
+        rho(s) = 2 (sqrt(1 + s/a^2) - 1),   rho'(s) = a^-2 / sqrt(1+s/a^2)
+
+    i.e. exactly ``soft_l1 / a^2``. The difference vs Ceres semantics is
+    the RELATIVE edge weighting in a multiview problem: here a tightly
+    aligned edge (small median scale a) gets ~1/a^2 MORE weight, while
+    Ceres' rho_a(s) = a^2 rho(s/a^2) is weight-independent in the
+    quadratic regime. On low-overlap scenes (dinosaur, ~14% overlap) the
+    normalized form trusts the well-aligned edges and converges ~15%
+    closer to the optimum (the round-2 oracle gap, BENCHMARKS.md); the
+    reference's Ceres semantics (icp-ceres.cpp:283-284) stay the default.
+    """
+    b = jnp.square(scale)
+    b = jnp.maximum(b, jnp.finfo(s.dtype).tiny)
+    root = jnp.sqrt(1.0 + s / b)
+    return 2.0 * (root - 1.0), (1.0 / b) / root
+
+
+LOSSES = {"trivial": trivial, "soft_l1": soft_l1,
+          "soft_l1_norm": soft_l1_norm}

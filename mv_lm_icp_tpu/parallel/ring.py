@@ -59,7 +59,8 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
     floc = F // n_dev
     param = res_mod.PARAMS[cfg.param_name]
     metric = cfg.metric
-    loss_fn = robust_mod.soft_l1 if cfg.robust else robust_mod.trivial
+    loss_fn = (robust_mod.LOSSES[cfg.loss] if cfg.robust
+               else robust_mod.trivial)
     free = (~fs.fixed).astype(fs.points.dtype)
     free6 = jnp.repeat(free, 6)
 
@@ -144,7 +145,8 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
 
             dist = jnp.sqrt(d2)
             ok = jnp.logical_and(dist < cfg.cutoff, val_loc)
-            ok = jnp.logical_and(ok, ~fixed[src_g][:, None])
+            if not cfg.fixed_src_edges:
+                ok = jnp.logical_and(ok, ~fixed[src_g][:, None])
             weight = 1.5 * nn.masked_median(dist, ok)
             if cfg.prune:
                 ok = jnp.logical_and(ok, dist <= weight[:, None])

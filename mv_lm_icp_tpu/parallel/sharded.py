@@ -115,7 +115,8 @@ def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
 
     dists = jnp.sqrt(d2s)
     oks = jnp.logical_and(dists < cfg.cutoff, src_valid)
-    oks = jnp.logical_and(oks, ~fs_rep.fixed[src_idx][:, None])
+    if not cfg.fixed_src_edges:
+        oks = jnp.logical_and(oks, ~fs_rep.fixed[src_idx][:, None])
     # robust scale needs each whole edge's distances: gather the
     # point-axis shards (nloc * n_point = N values per edge)
     dist_all = jax.lax.all_gather(
@@ -157,7 +158,8 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
     assert N % n_point == 0, (N, n_point)
     free = (~fs.fixed).astype(fs.points.dtype)
     free6 = jnp.repeat(free, 6)
-    loss_fn = robust_mod.soft_l1 if cfg.robust else robust_mod.trivial
+    loss_fn = (robust_mod.LOSSES[cfg.loss] if cfg.robust
+               else robust_mod.trivial)
 
     def device_fn(fs_rep, edges_loc):
         """Runs per device: edges_loc is this device's edge slice; the

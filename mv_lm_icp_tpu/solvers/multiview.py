@@ -41,12 +41,17 @@ _HI = jax.lax.Precision.HIGHEST
 def make_multiview_system(param, metric: str, fs: FrameSet,
                           edges: jnp.ndarray, corr: Correspondences,
                           robust: bool, use_autodiff: bool = False,
-                          vectorize_edges: bool = True):
-    """Returns build_system(xs[F, ambient]) -> (cost, g[6F], H[6F, 6F])."""
+                          vectorize_edges: bool = True,
+                          loss: str = "soft_l1"):
+    """Returns build_system(xs[F, ambient]) -> (cost, g[6F], H[6F, 6F]).
+
+    ``loss`` selects the robust loss family when ``robust`` is on:
+    "soft_l1" (Ceres semantics, the reference default) or "soft_l1_norm"
+    (scale-normalized TRF semantics — see ops/robust.soft_l1_norm)."""
     F = fs.num_frames
     jac_fn = (res_mod.residuals_and_jacobians_autodiff if use_autodiff
               else res_mod.residuals_and_jacobians)
-    loss_fn = robust_mod.soft_l1 if robust else robust_mod.trivial
+    loss_fn = robust_mod.LOSSES[loss] if robust else robust_mod.trivial
     free = (~fs.fixed).astype(fs.points.dtype)            # [F]
     free6 = jnp.repeat(free, 6)                           # [6F]
 
@@ -115,14 +120,15 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
 
 @partial(jax.jit, static_argnames=("param_name", "metric", "robust",
                                    "use_autodiff", "config",
-                                   "vectorize_edges", "schur_elim"))
+                                   "vectorize_edges", "schur_elim",
+                                   "loss"))
 def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
                     *, param_name: str = "se3",
                     metric: str = "point_to_plane", robust: bool = True,
                     use_autodiff: bool = False,
                     config: lm_mod.LMConfig = lm_mod.LMConfig(),
                     vectorize_edges: bool = True,
-                    schur_elim: tuple = None):
+                    schur_elim: tuple = None, loss: str = "soft_l1"):
     """One joint LM solve over all frame poses with fixed correspondences.
 
     The equivalent of one ceresOptimizer_* call in the outer ICP loop
@@ -139,7 +145,7 @@ def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
     free = (~fs.fixed).astype(fs.points.dtype)
     x0 = jax.vmap(param.from_pose7)(fs.poses)
     system = make_multiview_system(param, metric, fs, edges, corr, robust,
-                                   use_autodiff, vectorize_edges)
+                                   use_autodiff, vectorize_edges, loss)
     linear_solve = None
     if schur_elim is not None:
         import numpy as np

@@ -37,6 +37,35 @@ def alignment_rmse(fs) -> float:
     return float(jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)))
 
 
+def gauge_aligned_rmse(fs, stride: int = 4) -> float:
+    """Alignment RMSE after removing the global gauge: the estimated
+    scene is rigidly aligned to the GT scene (closed-form Eggert SVD on
+    the merged clouds) before the RMSE — the ATE-style metric.
+
+    Why it exists: the raw :func:`alignment_rmse` conflates registration
+    quality with the anchor's own pose error — frame 0 is pinned at its
+    NOISY initial pose (the gauge), so even a PERFECT relative
+    registration scores sqrt(mean |T0_noisy p - T0_gt p|^2) > 0 (3.78 on
+    the dinosaur workload, where converged solvers plateau at 3.3-3.5 and
+    an early-stopped solver can score 2.86 by simply not registering all
+    the way). This metric answers "how well are the surfaces mutually
+    registered" independent of where the gauge put them.
+    """
+    import numpy as np
+
+    from ..solvers import closedform
+
+    est = jax.vmap(se3.apply)(fs.poses, fs.points)
+    gt = jax.vmap(se3.apply)(fs.gt_poses, fs.points)
+    v = np.asarray(fs.valid).reshape(-1)
+    e = np.asarray(est).reshape(-1, 3)[v][::stride]
+    g = np.asarray(gt).reshape(-1, 3)[v][::stride]
+    pose = closedform.point_to_point(jnp.asarray(e), jnp.asarray(g))
+    e_aligned = se3.apply(pose, jnp.asarray(e))
+    d2 = jnp.sum((e_aligned - jnp.asarray(g)) ** 2, axis=-1)
+    return float(jnp.sqrt(jnp.mean(d2)))
+
+
 class DivergenceWatch:
     """Detect a diverging ICP run: the tracked metric (alignment RMSE or
     cost) rising ``patience`` consecutive rounds.
@@ -49,8 +78,11 @@ class DivergenceWatch:
     rejection — so the warning suggests ``--prune`` when it is off.
     """
 
-    def __init__(self, patience: int = 3):
+    def __init__(self, patience: int = 3, min_rel_rise: float = 1e-3):
         self.patience = patience
+        # a rise only counts above this relative threshold — converged
+        # runs wobble at the last digits of the plateau and must not trip
+        self.min_rel_rise = min_rel_rise
         self.prev = None
         self.rising = 0
         self.fired = False
@@ -59,9 +91,10 @@ class DivergenceWatch:
         """Feed this round's metric; True (+ a UserWarning) on divergence."""
         import warnings
 
-        if self.prev is not None and value > self.prev:
+        if self.prev is not None and \
+                value > self.prev * (1.0 + self.min_rel_rise):
             self.rising += 1
-        else:
+        elif self.prev is None or value < self.prev:
             self.rising = 0
         self.prev = value
         if self.rising >= self.patience and not self.fired:

@@ -357,3 +357,70 @@ class TestDivergenceWatch:
             for v in [1.0, 2.0, 3.0, 4.0, 5.0]:
                 w.update(v)
         assert len(rec) == 1
+
+
+class TestFixedSrcEdges:
+    """Gauge-anchoring edges (fixed_src_edges): the reference drops every
+    correspondence whose source frame is fixed (frame.cpp:93); keeping
+    them adds real constraints through frame 0's viewpoint while the
+    gauge stays exactly pinned."""
+
+    def test_fixed_src_edges_produce_matches(self):
+        fs = synthetic_frameset(F=4, N=256, sigma=0.02, sigmat=0.01,
+                                seed=11)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        src_fixed = np.asarray(fs.fixed)[np.asarray(edges)[:, 0]]
+        assert src_fixed.any()
+        c_off = correspond.find_correspondences(fs, edges, 1.0, chunk=128)
+        c_on = correspond.find_correspondences(fs, edges, 1.0, chunk=128,
+                                               fixed_src_edges=True)
+        per_edge_off = np.asarray(jnp.sum(c_off.valid, axis=1))
+        per_edge_on = np.asarray(jnp.sum(c_on.valid, axis=1))
+        assert (per_edge_off[src_fixed] == 0).all()
+        assert (per_edge_on[src_fixed] > 0).all()
+        # non-fixed edges identical
+        np.testing.assert_array_equal(per_edge_off[~src_fixed],
+                                      per_edge_on[~src_fixed])
+
+    def test_gauge_still_pinned_and_converges(self):
+        from mv_lm_icp_tpu.utils import metrics
+
+        fs = synthetic_frameset(F=4, N=256, sigma=0.04, sigmat=0.02,
+                                seed=12)
+        pose0 = np.asarray(fs.poses[0]).copy()
+        cfg = pipeline.ICPConfig(rounds=6, knn=2, cutoff=1.0,
+                                 metric="point_to_plane", robust=True,
+                                 nn_chunk=128, fixed_src_edges=True)
+        rmse0 = metrics.alignment_rmse(fs)
+        fs2, _ = pipeline.run_icp(fs, cfg)
+        np.testing.assert_array_equal(np.asarray(fs2.poses[0]), pose0)
+        assert metrics.alignment_rmse(fs2) < rmse0 * 1e-2
+
+
+class TestGaugeAlignedRMSE:
+    """gauge_aligned_rmse must strip a pure global gauge error: poses
+    G o gt have raw RMSE >> 0 but aligned RMSE ~ 0 (the dinosaur
+    forensics metric, BENCHMARKS.md round 3)."""
+
+    def test_pure_gauge_error_scores_zero(self):
+        from mv_lm_icp_tpu.ops import se3 as se3_ops
+        from mv_lm_icp_tpu.utils import metrics
+
+        fs = synthetic_frameset(F=4, N=256, sigma=0.0, sigmat=0.0, seed=13)
+        fs = fs.replace(poses=fs.gt_poses)
+        G = se3_ops.exp(jnp.asarray([0.05, -0.03, 0.08, 0.2, -0.1, 0.3],
+                                    fs.poses.dtype))
+        bad = jax.vmap(lambda p: se3_ops.compose(G, p))(fs.gt_poses)
+        fs_bad = fs.replace(poses=bad)
+        raw = metrics.alignment_rmse(fs_bad)
+        aligned = metrics.gauge_aligned_rmse(fs_bad, stride=2)
+        assert raw > 0.05
+        assert aligned < 1e-5, (raw, aligned)
+
+    def test_real_misregistration_still_scores(self):
+        from mv_lm_icp_tpu.utils import metrics
+
+        fs = synthetic_frameset(F=4, N=256, sigma=0.05, sigmat=0.03,
+                                seed=14)
+        aligned = metrics.gauge_aligned_rmse(fs, stride=2)
+        assert aligned > 0.01

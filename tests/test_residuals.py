@@ -124,3 +124,38 @@ class TestRobust:
         rho, w = robust.trivial(s)
         np.testing.assert_allclose(np.asarray(rho), np.asarray(s))
         np.testing.assert_allclose(np.asarray(w), 1.0)
+
+
+class TestSoftL1Norm:
+    """Scale-normalized soft-L1 (the scipy-TRF formulation,
+    ops/robust.soft_l1_norm): exactly soft_l1 / a^2 in both rho and
+    weight, so the relative edge weighting is 1/a^2 — tighter edges
+    trusted more."""
+
+    def test_is_softl1_over_a2(self):
+        import jax.numpy as jnp
+
+        from mv_lm_icp_tpu.ops import robust
+
+        s = jnp.asarray([0.0, 0.01, 1.0, 25.0])
+        for a in [0.3, 1.0, 4.2]:
+            rho_c, w_c = robust.soft_l1(s, a)
+            rho_n, w_n = robust.soft_l1_norm(s, a)
+            np.testing.assert_allclose(np.asarray(rho_n),
+                                       np.asarray(rho_c) / a**2, rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(w_n),
+                                       np.asarray(w_c) / a**2, rtol=1e-12)
+
+    def test_matches_scipy_trf_cost(self):
+        """cost = 0.5*sum(rho(s)) with residual r and scale a must equal
+        scipy's 0.5*sum(soft_l1((r/a)^2)) elementwise."""
+        import jax.numpy as jnp
+
+        from mv_lm_icp_tpu.ops import robust
+
+        r = np.asarray([0.0, 0.1, 2.0, -7.0])
+        a = 1.7
+        rho_n, _ = robust.soft_l1_norm(jnp.asarray(r * r), a)
+        z = (r / a) ** 2
+        scipy_rho = 2.0 * (np.sqrt(1.0 + z) - 1.0)
+        np.testing.assert_allclose(np.asarray(rho_n), scipy_rho, rtol=1e-12)
