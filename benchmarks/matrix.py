@@ -35,8 +35,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from mv_lm_icp_tpu.models import correspond, frameset, pipeline
-    from mv_lm_icp_tpu.solvers import posegraph
+    from mv_lm_icp_tpu.models import frameset, pipeline
     from mv_lm_icp_tpu.utils import datasets, metrics
 
     raw = datasets.load_raw_frames(args.dir, limit=40, step=2,
@@ -67,27 +66,20 @@ def main():
         rmse = float(metrics.alignment_rmse(fs1))
         print(f"LM {param:12s} {metric:20s} {dt*1e3:9.1f} {rmse:11.5f}")
 
-    # pose-graph (g2o GICP equivalent) — fused on-device chi2 outer loop
+    # pose-graph (g2o GICP equivalent) — the WHOLE 20-round alternation
+    # (correspondence + chi2-monitored pose-graph solve) fused into one
+    # program, measured exactly like the LM rows above
     for p2pl in (True, False):
-        fs = fs0
-        edges = frameset.knn_pose_graph(fs.poses, 2)
-        name = "point_to_plane" if p2pl else "point_to_point"
-        # warm up compiles on round 1, then time steady-state rounds
-        times = []
-        for i in range(args.rounds):
-            t0 = time.perf_counter()
-            corr = correspond.find_correspondences(fs, edges, 0.05,
-                                                   use_pallas=True)
-            fs, _, _ = posegraph.solve_posegraph_fused(
-                fs, edges, corr, point_to_plane=p2pl)
-            jax.block_until_ready(fs.poses)
-            times.append(time.perf_counter() - t0)
-        # early steady-state rounds only: once poses converge the inputs
-        # stop changing and the RPC tunnel dedupes the repeated program,
-        # reporting ~0 ms for later rounds
-        dt = min(times[1:5]) if len(times) > 1 else times[0]
-        rmse = float(metrics.alignment_rmse(fs))
-        print(f"posegraph/GICP {name:20s}    {dt*1e3:9.1f} {rmse:11.5f}")
+        metric = "point_to_plane" if p2pl else "point_to_point"
+        cfg = pipeline.ICPConfig(rounds=args.rounds, knn=2, cutoff=0.05,
+                                 metric=metric, use_pallas=True)
+        fs1, _, _ = jax.block_until_ready(
+            pipeline.run_gicp_fused(fs0, cfg))  # compile
+        t0 = time.perf_counter()
+        fs1, _, _ = jax.block_until_ready(pipeline.run_gicp_fused(fs0, cfg))
+        dt = (time.perf_counter() - t0) / args.rounds
+        rmse = float(metrics.alignment_rmse(fs1))
+        print(f"posegraph/GICP {metric:20s}    {dt*1e3:9.1f} {rmse:11.5f}")
 
 
 if __name__ == "__main__":

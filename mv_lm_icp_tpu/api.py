@@ -166,7 +166,8 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
 
     if method == "gicp":
         fs, history = _multiview_gicp(fs, edges, cfg, metric,
-                                      sharded=sharded, mesh=mesh)
+                                      sharded=sharded, mesh=mesh,
+                                      fused=fused)
     elif fused:
         fs, costs, unc = pipeline.run_icp_fused(fs, cfg)
         history = [dict(round=i, cost=float(c), uncovered=int(u))
@@ -187,10 +188,17 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
     return fs, history
 
 
-def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None):
-    """GICP (g2o-equivalent) outer ICP loop, optionally mesh-sharded."""
-    from .models import correspond
+def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None,
+                    fused=False):
+    """GICP (g2o-equivalent) outer ICP loop, optionally mesh-sharded or
+    fully fused on-device (pipeline.run_gicp_fused)."""
+    from .models import correspond, pipeline
     from .solvers import posegraph
+
+    if fused and not sharded:
+        fs, chis, unc = pipeline.run_gicp_fused(fs, cfg)
+        return fs, [dict(round=i, chi2=float(c), uncovered=int(u))
+                    for i, (c, u) in enumerate(zip(chis, unc))]
 
     history = []
     p2pl = metric == "point_to_plane"

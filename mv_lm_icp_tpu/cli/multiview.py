@@ -108,6 +108,11 @@ def build_parser():
     p.add_argument("--snapshot", default=None, metavar="DIR",
                    help="render a PNG per round into DIR (headless "
                         "replacement for the viewer's per-round redraw)")
+    p.add_argument("--snapshot-edge", type=int, default=None, metavar="E",
+                   help="with --snapshot: also draw the selected edge E's "
+                        "correspondence lines src->dst (the viewer's "
+                        "per-edge correspondence display, "
+                        "Visualize.cpp:412-481)")
     p.add_argument("--checkpoint", default=None,
                    help="npz path; saved every round, resumed if present")
     p.add_argument("--platform", default=None)
@@ -238,14 +243,20 @@ def _run(args, cfg, fs, edges, timer, start_round):
     from ..solvers.lm import reason_str as lm_reason
     from ..utils import checkpoint, export, metrics
 
-    def snap(i, fs_now, weights=None):
+    def snap(i, fs_now, weights=None, corr=None):
         if args.snapshot:
             import os as _os
 
             from ..utils import viz
 
+            ce = args.snapshot_edge
+            if ce is not None and not 0 <= ce < edges.shape[0]:
+                print(f"--snapshot-edge {ce} out of range "
+                      f"(E={edges.shape[0]}); ignoring")
+                ce = None
             viz.render_scene(
-                fs_now, edges=edges, weights=weights,
+                fs_now, edges=edges, weights=weights, corr=corr,
+                corr_edge=ce if corr is not None else None,
                 path=_os.path.join(args.snapshot, f"round_{i:03d}.png"),
                 title=f"round {i}")
 
@@ -265,7 +276,24 @@ def _run(args, cfg, fs, edges, timer, start_round):
         elif args.sharded:
             print("note: --sharded requested but only one device is "
                   "visible; running the pose-graph solver unsharded")
-        for i in range(start_round, args.rounds):
+        fused_g2o = args.fused and not sharded_g2o and start_round == 0
+        if fused_g2o:
+            # the whole alternation in one compiled program (the
+            # benchmark path — pipeline.run_gicp_fused)
+            import numpy as np
+
+            timer.tic()
+            fs, chis, unc = pipeline.run_gicp_fused(fs, cfg)
+            total = timer.toc("fused g2o outer loop", block_on=fs.poses)
+            print(f"{args.rounds} fused GICP rounds in {total:.3f}s "
+                  f"({total/args.rounds*1e3:.1f} ms/round incl. compile)")
+            for i, c in enumerate(np.asarray(chis)):
+                extra = (f"  UNCOVERED: {int(unc[i])}" if int(unc[i])
+                         else "")
+                print(f"round: {i}  chi2: {float(c):.6g}{extra}")
+            rmse = metrics.alignment_rmse(fs)
+            print(f"final rmse: {rmse:.6f}")
+        for i in range(start_round, 0 if fused_g2o else args.rounds):
             timer.tic()
             if sharded_g2o:
                 from ..parallel import sharded
@@ -306,7 +334,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
                   f"({int(g2o_rounds)} g2o rounds)  "
                   f"rmse: {rmse:.6f}")
             watch.update(rmse, prune_on=cfg.prune)
-            snap(i, fs, corr.weight if corr is not None else None)
+            snap(i, fs, corr.weight if corr is not None else None,
+                 corr=corr)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
     elif args.fused:
@@ -390,7 +419,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
                   f"rmse: {rmse:.6f}  "
                   f"[{lm_reason(stats)}]")
             watch.update(rmse, prune_on=cfg.prune)
-            snap(i, fs, corr.weight)
+            snap(i, fs, corr.weight, corr=corr)
             if args.checkpoint:
                 checkpoint.save(args.checkpoint, fs, i + 1)
 

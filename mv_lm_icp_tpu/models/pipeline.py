@@ -145,3 +145,49 @@ def run_icp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig()):
     fs, costs, unc = jax.lax.fori_loop(0, cfg.rounds, body,
                                        (fs, costs0, unc0))
     return fs, costs, unc
+
+
+@partial(jax.jit, static_argnames=("cfg", "e_precision", "outer_rounds",
+                                   "inner_iterations", "stagnant_break"))
+def run_gicp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(), *,
+                   e_precision: float = 0.01, outer_rounds: int = 100,
+                   inner_iterations: int = 100, stagnant_break: int = 6,
+                   rel_improvement: float = 1e-6):
+    """The g2o comparison path (icp-g2o.cpp g2oOptimizer inside the
+    main_multiview.cpp:150-169 outer loop) as ONE compiled program:
+    ``cfg.rounds`` alternations of correspondence search and the
+    chi2-monitored GICP pose-graph solve, zero host round-trips.
+
+    The point-to-plane/point-to-point switch follows ``cfg.metric``; the
+    GICP information matrix is W = nn^T + e(I - nn^T) with ``e_precision``
+    (g2o EdgeGICP::prec0, icp-g2o.cpp:119-129).
+
+    Returns (fs_final, per-round final chi2 [rounds], per-round
+    uncovered-query counts — see run_icp_fused).
+    """
+    from ..solvers import posegraph as pg
+
+    edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    p2pl = cfg.metric == "point_to_plane"
+
+    def body(i, carry):
+        fs, chis, unc = carry
+        corr = correspond.find_correspondences(
+            fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+            use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+            grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window,
+            prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+        build_system, apply_delta = pg._posegraph_system(
+            fs, edges, corr, p2pl, e_precision)
+        poses, hist, rounds = pg.chi2_outer_loop(
+            fs.poses, build_system, apply_delta, outer_rounds=outer_rounds,
+            inner_iterations=inner_iterations, stagnant_break=stagnant_break,
+            rel_improvement=rel_improvement)
+        chi2 = hist[jnp.maximum(rounds - 1, 0)]
+        return (fs.replace(poses=poses), chis.at[i].set(chi2),
+                unc.at[i].set(jnp.sum(corr.uncovered).astype(jnp.int32)))
+
+    chis0 = jnp.zeros(cfg.rounds, dtype=fs.points.dtype)
+    unc0 = jnp.zeros(cfg.rounds, dtype=jnp.int32)
+    fs, chis, unc = jax.lax.fori_loop(0, cfg.rounds, body, (fs, chis0, unc0))
+    return fs, chis, unc

@@ -46,6 +46,13 @@ class LMConfig:
     min_diagonal: float = 1e-6              # Ceres lm_min_diagonal
     max_diagonal: float = 1e32              # Ceres lm_max_diagonal
     min_relative_decrease: float = 1e-3     # Ceres default
+    # stop after this many CONSECUTIVE rejected steps (0 = disabled).
+    # Ceres has no such cut, but g2o does: OptimizationAlgorithmLevenberg
+    # ::_maxTrialsAfterFailure = 10 ends an optimize() call once 10 step
+    # trials in a row fail — the GICP pose-graph path (solvers/posegraph)
+    # sets 10 to match, which spares the ~15-step radius-collapse cascade
+    # a converged solve otherwise pays.
+    max_consecutive_rejections: int = 0
 
 
 class LMState(NamedTuple):
@@ -59,6 +66,7 @@ class LMState(NamedTuple):
     done: jnp.ndarray
     converged: jnp.ndarray
     reason: jnp.ndarray
+    rejections: jnp.ndarray
 
 
 # Termination reason codes (LMStats.reason) — the information Ceres'
@@ -69,12 +77,14 @@ REASON_FUNCTION_TOLERANCE = 1  # |Δcost| <= ftol * cost
 REASON_GRADIENT_TOLERANCE = 2  # max|g| <= gtol
 REASON_PARAMETER_TOLERANCE = 3  # |step| <= xtol * (|x| + xtol)
 REASON_RADIUS_COLLAPSED = 4    # trust region shrank to nothing
+REASON_REJECTION_LIMIT = 5     # max_consecutive_rejections trials failed
 TERMINATION_REASONS = (
     "NO_CONVERGENCE (max iterations)",
     "CONVERGENCE (function tolerance)",
     "CONVERGENCE (gradient tolerance)",
     "CONVERGENCE (parameter tolerance)",
     "NO_CONVERGENCE (trust region collapsed)",
+    "NO_CONVERGENCE (consecutive step rejections)",
 )
 
 
@@ -84,6 +94,11 @@ class LMStats(NamedTuple):
     grad_max: jnp.ndarray
     converged: jnp.ndarray
     reason: jnp.ndarray
+    # final trust-region state — pass back as lm_solve(tr_state=...) to
+    # CONTINUE the solve instead of restarting at initial_radius (the g2o
+    # optimize() continuation semantics, see chi2_outer_loop)
+    radius: jnp.ndarray = jnp.nan
+    decrease_factor: jnp.ndarray = jnp.nan
 
 
 def reason_str(stats: "LMStats") -> str:
@@ -104,7 +119,8 @@ def lm_solve(x0: jnp.ndarray,
              build_system: Callable,
              apply_delta: Callable,
              config: LMConfig = LMConfig(),
-             linear_solve: Callable = None):
+             linear_solve: Callable = None,
+             tr_state=None):
     """Minimize cost(x) given fused system assembly.
 
     Args:
@@ -116,23 +132,43 @@ def lm_solve(x0: jnp.ndarray,
       linear_solve: optional (H_damped, g) -> delta = H⁻¹(−g) replacing
         the dense Cholesky (e.g. the frame-graph Schur reduction,
         solvers/schur.py).
+      tr_state: optional (radius, decrease_factor) pair — e.g.
+        ``(stats.radius, stats.decrease_factor)`` from a previous solve —
+        to CONTINUE that solve's trust region instead of restarting at
+        ``initial_radius``. This is how g2o behaves across consecutive
+        ``optimizer.optimize(100)`` calls on the same graph (its
+        SparseOptimizer keeps the LM lambda between calls), which the
+        chi2 outer loop (icp-g2o.cpp:261-303) relies on: a converged
+        solve leaves a collapsed radius, so the stagnant re-solves the
+        loop counts terminate after one iteration instead of re-running
+        a full rejection cascade from a fresh radius.
 
     Returns:
       (x_final, LMStats). Fully jittable; runs as one lax.while_loop.
     """
     cost0, g0, H0 = build_system(x0)
     dtype = cost0.dtype
+    if tr_state is None:
+        radius0 = jnp.asarray(config.initial_radius, dtype)
+        decrease0 = jnp.asarray(2.0, dtype)
+    else:
+        radius0 = jnp.asarray(tr_state[0], dtype)
+        decrease0 = jnp.asarray(tr_state[1], dtype)
     state = LMState(
         x=x0,
-        radius=jnp.asarray(config.initial_radius, dtype),
-        decrease_factor=jnp.asarray(2.0, dtype),
+        radius=radius0,
+        decrease_factor=decrease0,
         cost=cost0,
         grad=g0,
         hess=H0,
         iteration=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
+        # a continued solve whose trust region already collapsed has
+        # nothing left to do — skip the loop entirely
+        done=radius0 < 1e-32,
         converged=jnp.asarray(False),
-        reason=jnp.asarray(REASON_MAX_ITERATIONS, jnp.int32),
+        reason=jnp.where(radius0 < 1e-32, REASON_RADIUS_COLLAPSED,
+                         REASON_MAX_ITERATIONS).astype(jnp.int32),
+        rejections=jnp.asarray(0, jnp.int32),
     )
 
     def cond(s: LMState):
@@ -186,7 +222,12 @@ def lm_solve(x0: jnp.ndarray,
             g_conv, jnp.logical_and(accept, jnp.logical_or(f_conv, x_conv)))
         # a degenerate trust region also terminates
         dead = radius < 1e-32
-        done = jnp.logical_or(converged, dead)
+        rejections = jnp.where(accept, 0, s.rejections + 1).astype(jnp.int32)
+        if config.max_consecutive_rejections > 0:
+            rej_out = rejections >= config.max_consecutive_rejections
+        else:
+            rej_out = jnp.asarray(False)
+        done = jnp.logical_or(jnp.logical_or(converged, dead), rej_out)
         # first-to-fire criterion, Ceres check order: gradient, then the
         # accepted-step tests, then the degenerate radius
         acc_f = jnp.logical_and(accept, f_conv)
@@ -196,7 +237,9 @@ def lm_solve(x0: jnp.ndarray,
             jnp.where(acc_f, REASON_FUNCTION_TOLERANCE,
                       jnp.where(acc_x, REASON_PARAMETER_TOLERANCE,
                                 jnp.where(dead, REASON_RADIUS_COLLAPSED,
-                                          REASON_MAX_ITERATIONS))))
+                                          jnp.where(rej_out,
+                                                    REASON_REJECTION_LIMIT,
+                                                    REASON_MAX_ITERATIONS)))))
         reason = jnp.where(done, reason, s.reason).astype(jnp.int32)
 
         pick = lambda a, b: jnp.where(accept, a, b)
@@ -211,6 +254,7 @@ def lm_solve(x0: jnp.ndarray,
             done=done,
             converged=converged,
             reason=reason,
+            rejections=rejections,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -220,6 +264,8 @@ def lm_solve(x0: jnp.ndarray,
         grad_max=jnp.max(jnp.abs(final.grad)),
         converged=final.converged,
         reason=final.reason,
+        radius=final.radius,
+        decrease_factor=final.decrease_factor,
     )
     return final.x, stats
 

@@ -66,6 +66,8 @@ def _frustum_segments(pose7: np.ndarray, scale: float):
 
 
 def render_scene(fs, edges=None, weights=None, *, path: str,
+                 corr=None, corr_edge: Optional[int] = None,
+                 max_corr_lines: int = 200,
                  max_points_per_frame: int = 2000, show_gt: bool = True,
                  show_normals: bool = False, frustum_scale: float = 0.02,
                  elev: float = -70.0, azim: float = -90.0,
@@ -78,6 +80,13 @@ def render_scene(fs, edges=None, weights=None, *, path: str,
         centres, as the viewer's drawEdges).
       weights: optional [E] per-edge labels (the viewer draws edge
         weights when toggled, Visualize.cpp:447-473).
+      corr / corr_edge: optional Correspondences + selected edge index —
+        draws up to ``max_corr_lines`` sampled correspondence lines from
+        the edge's source points to their matched destination points,
+        both under CURRENT poses (the viewer's selected-edge
+        correspondence display, Visualize.cpp:412-481; keyboard edge
+        selection at :627-688). Lines for a well-registered edge shrink
+        to dots; a bad edge shows as a comb of long strokes.
       max_points_per_frame: subsample cap per frame for plot speed.
       show_normals: draw a sparse normal quiver (key 'n' in the viewer).
     """
@@ -122,11 +131,32 @@ def render_scene(fs, edges=None, weights=None, *, path: str,
         centres = poses[:, 4:7]
         for k in range(e.shape[0]):
             a, b = centres[e[k, 0]], centres[e[k, 1]]
-            ax.plot(*np.stack([a, b]).T, lw=0.5, color="black", alpha=0.5)
+            hot = corr_edge is not None and k == int(corr_edge)
+            ax.plot(*np.stack([a, b]).T, lw=1.5 if hot else 0.5,
+                    color="magenta" if hot else "black", alpha=0.7)
             if weights is not None:
                 mid = 0.5 * (a + b)
                 ax.text(mid[0], mid[1], mid[2],
                         f"{float(np.asarray(weights)[k]):.3g}", fontsize=5)
+
+    if corr is not None and corr_edge is not None and edges is not None:
+        # selected-edge correspondence lines (Visualize.cpp:412-481):
+        # src point (current src pose) -> matched dst point (current dst
+        # pose), valid matches only, evenly subsampled
+        k = int(corr_edge)
+        e = np.asarray(edges)
+        src_f, dst_f = int(e[k, 0]), int(e[k, 1])
+        nn = np.asarray(corr.nn_idx[k])
+        ok = np.asarray(corr.valid[k])
+        idx = np.nonzero(ok)[0]
+        if idx.size > max_corr_lines:
+            idx = idx[np.linspace(0, idx.size - 1, max_corr_lines,
+                                  dtype=np.int64)]
+        a = pts_g[src_f][idx]
+        b = pts_g[dst_f][nn[idx]]
+        for pa, pb in zip(a, b):
+            ax.plot(*np.stack([pa, pb]).T, lw=0.4, color="magenta",
+                    alpha=0.8)
 
     ax.view_init(elev=elev, azim=azim)
     ax.set_box_aspect((1, 1, 1))

@@ -66,6 +66,29 @@ class TestViz:
             title="test")
         assert (tmp_path / "scene.png").stat().st_size > 10_000
 
+    def test_render_correspondence_lines(self, tmp_path):
+        """Selected-edge correspondence rendering (Visualize.cpp:412-481):
+        the corr_edge layer must add strokes to the figure (file strictly
+        larger than the same render without it)."""
+        pytest.importorskip("matplotlib")
+        from mv_lm_icp_tpu.models import correspond, frameset
+        from mv_lm_icp_tpu.utils import viz
+
+        fs = synthetic_frameset(F=3, N=64)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        corr = correspond.find_correspondences(fs, edges, cutoff=10.0,
+                                               chunk=64)
+        # frame 0 is gauge-fixed so its outgoing edges carry no valid
+        # matches by default — select the first edge that does
+        per_edge = np.sum(np.asarray(corr.valid), axis=1)
+        k = int(np.argmax(per_edge))
+        assert per_edge[k] > 0
+        viz.render_scene(fs, edges=edges, path=str(tmp_path / "base.png"))
+        viz.render_scene(fs, edges=edges, corr=corr, corr_edge=k,
+                         path=str(tmp_path / "corr.png"))
+        assert (tmp_path / "corr.png").stat().st_size > \
+            (tmp_path / "base.png").stat().st_size
+
     def test_snapshot_callback(self, tmp_path):
         pytest.importorskip("matplotlib")
         from mv_lm_icp_tpu.models import frameset, pipeline

@@ -165,3 +165,36 @@ class TestTerminationReasons:
         _, stats = lm.solve_pairwise(src, dst, nor)
         rep = lm.report(stats)
         assert "termination=" in rep and "iterations=" in rep
+
+    def test_rejection_limit_reason(self):
+        """g2o's maxTrialsAfterFailure cut: with every step rejected
+        (min_relative_decrease > 1), the solve must stop after exactly
+        the configured number of consecutive rejections."""
+        src, dst, nor, gt = make_problem()
+        cfg = lm.LMConfig(max_iterations=50, min_relative_decrease=2.0,
+                          gradient_tolerance=0.0,
+                          max_consecutive_rejections=4)
+        _, stats = lm.solve_pairwise(src, dst, nor, param_name="se3",
+                                     metric="point_to_plane", config=cfg)
+        assert int(stats.reason) == lm.REASON_REJECTION_LIMIT
+        assert int(stats.iterations) == 4
+
+    def test_tr_state_continuation(self):
+        """A solve continued from a collapsed trust region must do zero
+        iterations and leave the pose untouched."""
+        import jax.numpy as jnp
+
+        from mv_lm_icp_tpu.ops import residuals as res_mod
+
+        src, dst, nor, gt = make_problem()
+        param = res_mod.PARAMS["se3"]
+        system = lm.make_pairwise_system(param, "point_to_plane", src, dst,
+                                         nor)
+        x0 = param.from_pose7(jnp.zeros(7, src.dtype).at[3].set(1.0))
+        x, stats = lm.lm_solve(x0, system, param.boxplus,
+                               tr_state=(1e-40, 2.0))
+        assert int(stats.iterations) == 0
+        assert int(stats.reason) == lm.REASON_RADIUS_COLLAPSED
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(x0))
+        # final tr state is returned for chaining
+        assert float(stats.radius) < 1e-32

@@ -127,3 +127,70 @@ class TestFusedPoseGraph:
                                                     outer_rounds=3)
         np.testing.assert_array_equal(np.asarray(fs2.poses[0]),
                                       np.asarray(fs.poses[0]))
+
+    def test_tr_carry_makes_stagnant_rounds_free(self):
+        """After the productive inner solve, the carried (collapsed /
+        rejected-out) trust region must terminate re-solves in ~1
+        iteration instead of a fresh rejection cascade."""
+        from mv_lm_icp_tpu.solvers import lm as lm_mod
+
+        fs = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02, seed=11)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        corr = correspond.find_correspondences(fs, edges, cutoff=1.0,
+                                               chunk=128)
+        cfg = lm_mod.LMConfig(max_iterations=100,
+                              max_consecutive_rejections=10)
+        fs1, chi_a, stats = posegraph.solve_posegraph_once(
+            fs, edges, corr, config=cfg)
+        fs2, chi_b, stats2 = posegraph.solve_posegraph_once(
+            fs1, edges, corr, config=cfg,
+            tr_state=(stats.radius, stats.decrease_factor))
+        # continuation from a finished solve must not undo its result
+        assert float(chi_b) <= float(chi_a) * (1 + 1e-6)
+        # and must be nearly free: the fresh-restart path burns a full
+        # rejection cascade here (>= 10 iterations)
+        assert int(stats2.iterations) <= 2
+        _, _, stats3 = posegraph.solve_posegraph_once(
+            fs1, edges, corr, config=cfg)
+        assert int(stats3.iterations) >= int(stats2.iterations)
+
+
+class TestFusedGICPDriver:
+    """pipeline.run_gicp_fused — the whole 20-round alternation fused —
+    must reproduce the host composition of find_correspondences +
+    solve_posegraph_fused bit-exactly."""
+
+    def test_matches_host_composition(self):
+        from mv_lm_icp_tpu.models import pipeline
+
+        fs0 = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02,
+                                 seed=21)
+        cfg = pipeline.ICPConfig(rounds=3, knn=2, cutoff=1.0, nn_chunk=128)
+        fs = fs0
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        host_chis = []
+        for _ in range(3):
+            corr = correspond.find_correspondences(fs, edges, 1.0,
+                                                   chunk=128)
+            fs, hist, rounds = posegraph.solve_posegraph_fused(fs, edges,
+                                                               corr)
+            host_chis.append(float(hist[int(rounds) - 1]))
+        fs2, chis, unc = pipeline.run_gicp_fused(fs0, cfg)
+        np.testing.assert_array_equal(np.asarray(fs2.poses),
+                                      np.asarray(fs.poses))
+        np.testing.assert_allclose(np.asarray(chis), np.asarray(host_chis),
+                                   rtol=1e-6)
+        assert int(jnp.sum(unc)) == 0
+
+    def test_point_to_point_metric(self):
+        from mv_lm_icp_tpu.models import pipeline
+        from mv_lm_icp_tpu.utils import metrics
+
+        fs0 = synthetic_frameset(F=4, N=256, sigma=0.03, sigmat=0.02,
+                                 seed=22)
+        cfg = pipeline.ICPConfig(rounds=4, knn=2, cutoff=1.0, nn_chunk=128,
+                                 metric="point_to_point")
+        fs2, chis, _ = pipeline.run_gicp_fused(fs0, cfg)
+        assert float(metrics.alignment_rmse(fs2)) < \
+            float(metrics.alignment_rmse(fs0))
+        assert float(chis[-1]) <= float(chis[0])
