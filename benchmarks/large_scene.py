@@ -36,6 +36,11 @@ def main():
                     help="scalar-prefetch Pallas window kernel")
     ap.add_argument("--sharded", action="store_true",
                     help="shard_map over all visible devices")
+    ap.add_argument("--ring", action="store_true",
+                    help="frame-sharded ring-halo path (parallel/ring): "
+                         "each device owns F/n_dev cloud shards, halo "
+                         "frames move via ppermute — the HBM-limited "
+                         "regime")
     ap.add_argument("--sigma", type=float, default=0.0005)
     ap.add_argument("--sigmat", type=float, default=0.002)
     ap.add_argument("--platform", default=None)
@@ -86,7 +91,28 @@ def main():
                              use_pallas=args.pallas)
     rmse0 = float(metrics.alignment_rmse(fs))
 
-    if args.sharded:
+    if args.ring:
+        from jax.sharding import Mesh
+
+        from mv_lm_icp_tpu.parallel import ring
+
+        devs = np.asarray(jax.devices())
+        assert fs.num_frames % len(devs) == 0, (fs.num_frames, len(devs))
+        rmesh = Mesh(devs, (ring.AXIS,))
+        print(f"ring mesh: {len(devs)} device(s), "
+              f"{fs.num_frames // len(devs)} frames/device")
+        fs1, unc = jax.block_until_ready(
+            ring.ring_icp_round(fs, cfg, rmesh))  # compile
+        t0 = time.perf_counter()
+        fs_run = fs
+        for _ in range(args.rounds):
+            fs_run, unc = ring.ring_icp_round(fs_run, cfg, rmesh)
+        jax.block_until_ready(fs_run.poses)
+        dt = (time.perf_counter() - t0) / args.rounds
+        fs = fs_run
+        print(f"uncovered (last round): {int(unc)}")
+        label = "ring window" + (" pallas" if args.pallas else " xla")
+    elif args.sharded:
         from mv_lm_icp_tpu.parallel import mesh as mesh_mod
         from mv_lm_icp_tpu.parallel import sharded
 

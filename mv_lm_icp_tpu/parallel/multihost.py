@@ -74,6 +74,25 @@ def shard_edges(edges, mesh):
         edges.shape, sharding, lambda idx: edges[idx])
 
 
+def shard_frames(fs, mesh, axis: str = "frames"):
+    """Place a FrameSet for the ring path on a 1-axis global mesh:
+    clouds (points/normals/valid) sharded along the frame axis — each
+    process materializes only its own frame shards — poses and metadata
+    replicated. Every process passes the same host values."""
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return fs.replace(
+        points=put(fs.points, shard), normals=put(fs.normals, shard),
+        valid=put(fs.valid, shard), poses=put(fs.poses, rep),
+        gt_poses=put(fs.gt_poses, rep), fixed=put(fs.fixed, rep))
+
+
 def fetch_replicated(x):
     """Local value of a replicated global array."""
     return np.asarray(x.addressable_shards[0].data)
