@@ -33,6 +33,12 @@ def enable_compile_cache():
 
     import jax
 
+    # TPU-class backends only: XLA:CPU entries are machine-specific AOT
+    # results that SIGILL other hosts (see mv_lm_icp_tpu/__init__.py)
+    p = (getattr(jax.config, "jax_platforms", None)
+         or os.environ.get("JAX_PLATFORMS", "") or "")
+    if p.split(",")[0].strip().lower() == "cpu":
+        return
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache")
     os.makedirs(d, exist_ok=True)

@@ -51,9 +51,29 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: first compiles through this rig's
 # remote-compile tunnel take minutes, so cache hits matter more than in a
 # typical JAX install. Opt out with MVICP_NO_COMPILE_CACHE=1.
+#
+# NEVER enabled on the CPU backend: XLA:CPU cache entries are AOT results
+# specialized to the *compiling* machine's CPU features, and jax
+# deserializes them on a key hit even when the executing host lacks those
+# features ("Machine type used for XLA:CPU compilation doesn't match the
+# machine type for execution ... could lead to execution errors such as
+# SIGILL") — a .jax_cache shared through git then segfaults test runs on
+# other hosts (this took down the round-3 full-suite run). CPU compiles
+# are fast; only the TPU/remote-compile path needs persistence.
 import os as _os
 
-if not _os.environ.get("MVICP_NO_COMPILE_CACHE"):
+
+def _configured_platform() -> str:
+    """The platform jax will initialize, WITHOUT triggering backend init:
+    config first (tests set jax.config jax_platforms='cpu'), then the
+    JAX_PLATFORMS env var, else '' (= auto-select)."""
+    p = getattr(_jax.config, "jax_platforms", None) \
+        or _os.environ.get("JAX_PLATFORMS", "")
+    return (p or "").split(",")[0].strip().lower()
+
+
+if not _os.environ.get("MVICP_NO_COMPILE_CACHE") \
+        and _configured_platform() not in ("cpu",):
     _cache_dir = _os.environ.get(
         "MVICP_COMPILE_CACHE",
         _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),

@@ -126,6 +126,15 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
     from .solvers import lm as lm_mod
     from .utils import datasets
 
+    if fused and sharded:
+        # refuse rather than silently pick one: the fused single-device
+        # loop and the shard_map rounds are different execution modes and
+        # are not composed (the fused loop would ignore the mesh)
+        raise ValueError(
+            "fused=True and sharded=True are mutually exclusive: the "
+            "fused path runs the whole loop on one device, the sharded "
+            "path distributes host-driven rounds over the mesh — pick one")
+
     if isinstance(clouds, frameset.FrameSet):
         fs = clouds
     else:
@@ -169,7 +178,7 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
                                       sharded=sharded, mesh=mesh,
                                       fused=fused)
     elif fused:
-        fs, costs, unc = pipeline.run_icp_fused(fs, cfg)
+        fs, costs, unc, cfg = pipeline.run_icp_fused_checked(fs, cfg)
         history = [dict(round=i, cost=float(c), uncovered=int(u))
                    for i, (c, u) in enumerate(zip(costs, unc))]
     elif sharded:
@@ -196,7 +205,7 @@ def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None,
     from .solvers import posegraph
 
     if fused and not sharded:
-        fs, chis, unc = pipeline.run_gicp_fused(fs, cfg)
+        fs, chis, unc, cfg = pipeline.run_gicp_fused_checked(fs, cfg)
         return fs, [dict(round=i, chi2=float(c), uncovered=int(u))
                     for i, (c, u) in enumerate(zip(chis, unc))]
 
@@ -214,9 +223,11 @@ def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None,
                             "uncovered": int(unc)})
         else:
             corr = correspond.find_correspondences(
-                fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
-                use_window=cfg.use_window, window=cfg.window,
-                prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+                fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+                use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+                grid_k=cfg.grid_k, use_window=cfg.use_window,
+                window=cfg.window, prune=cfg.prune,
+                fixed_src_edges=cfg.fixed_src_edges)
             fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
                 fs, edges, corr, point_to_plane=p2pl)
             history.append({"chi2": float(chi2_hist[int(g2o_rounds) - 1]),

@@ -187,8 +187,24 @@ def main(argv=None):
 
     start_round = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
-        fs, start_round, _ = checkpoint.restore(args.checkpoint, fs)
+        fs, start_round, rng = checkpoint.restore(args.checkpoint, fs)
         print(f"resumed from {args.checkpoint} at round {start_round}")
+        if rng is not None and int(rng[0]) != args.seed:
+            print(f"note: checkpoint was written by a run with "
+                  f"--seed {int(rng[0])} (this run: {args.seed}); "
+                  "restored poses/GT take precedence")
+        extra = checkpoint.restore_extra(args.checkpoint)
+        if cfg.use_window and "window" in extra:
+            # resume with the W the interrupted run had already learned
+            # it needs — re-shrinking below it would waste a search round
+            # re-raising (and drop correspondences in fused mode)
+            import dataclasses as _dc
+
+            saved_w = int(extra["window"])
+            if saved_w > cfg.window:
+                print(f"restoring learned window W={saved_w} "
+                      f"(was {cfg.window})")
+                cfg = _dc.replace(cfg, window=saved_w)
 
     if cfg.use_window:
         # validate W against the data at the STARTING poses (post-restore —
@@ -214,25 +230,11 @@ def main(argv=None):
 
 
 def _autoraise_window(cfg, fs, edges, floor: int = 0):
-    """Return cfg with window W >= what the data needs at fs.poses."""
-    from ..ops import nn_window, se3 as se3_ops
+    """Return cfg with window W >= what the data needs at fs.poses (one
+    vmapped program over all edges — pipeline.autoraise_window)."""
+    from ..models import pipeline
 
-    need = floor
-    for e in range(edges.shape[0]):
-        s, d = int(edges[e, 0]), int(edges[e, 1])
-        rel = se3_ops.compose(se3_ops.inverse(fs.poses[d]), fs.poses[s])
-        q = se3_ops.apply(rel, fs.points[s])
-        need = max(need, int(nn_window.window_shortfall(
-            q, fs.points[d], fs.valid[d], cfg.cutoff,
-            query_valid=fs.valid[s])))
-    need = -(-(need + 2048) // 2048) * 2048   # td granularity + margin
-    if cfg.window < need:
-        import dataclasses
-
-        print(f"--window {cfg.window} cannot cover every query tile "
-              f"on this data (needs ~{need}); raising to {need}")
-        cfg = dataclasses.replace(cfg, window=need)
-    return cfg
+    return pipeline.autoraise_window(cfg, fs, edges, floor=floor)
 
 
 def _run(args, cfg, fs, edges, timer, start_round):
@@ -283,7 +285,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
             import numpy as np
 
             timer.tic()
-            fs, chis, unc = pipeline.run_gicp_fused(fs, cfg)
+            fs, chis, unc, cfg = pipeline.run_gicp_fused_checked(fs, cfg)
             total = timer.toc("fused g2o outer loop", block_on=fs.poses)
             print(f"{args.rounds} fused GICP rounds in {total:.3f}s "
                   f"({total/args.rounds*1e3:.1f} ms/round incl. compile)")
@@ -311,18 +313,22 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 corr = None
             else:
                 corr = correspond.find_correspondences(
-                    fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
-                    use_grid=cfg.use_grid, use_window=cfg.use_window,
-                    window=cfg.window, prune=cfg.prune)
+                    fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+                    use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+                    grid_k=cfg.grid_k, use_window=cfg.use_window,
+                    window=cfg.window, prune=cfg.prune,
+                    fixed_src_edges=cfg.fixed_src_edges)
                 if cfg.use_window and int(jnp.sum(corr.uncovered)):
                     print(f"round {i}: {int(jnp.sum(corr.uncovered))} "
                           f"queries lost window coverage; re-sizing W")
                     cfg = _autoraise_window(cfg, fs, edges,
                                             floor=cfg.window + 2048)
                     corr = correspond.find_correspondences(
-                        fs, edges, cfg.cutoff, use_pallas=cfg.use_pallas,
-                        use_grid=cfg.use_grid, use_window=cfg.use_window,
-                        window=cfg.window, prune=cfg.prune)
+                        fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+                        use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+                        grid_k=cfg.grid_k, use_window=cfg.use_window,
+                        window=cfg.window, prune=cfg.prune,
+                        fixed_src_edges=cfg.fixed_src_edges)
                 timer.toc(f"closest pts {i}", block_on=corr.dist)
                 timer.tic()
                 fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
@@ -337,25 +343,22 @@ def _run(args, cfg, fs, edges, timer, start_round):
             snap(i, fs, corr.weight if corr is not None else None,
                  corr=corr)
             if args.checkpoint:
-                checkpoint.save(args.checkpoint, fs, i + 1)
+                checkpoint.save(args.checkpoint, fs, i + 1,
+                                rng_key=[args.seed],
+                                extra={"window": cfg.window})
     elif args.fused:
         import numpy as np
 
         timer.tic()
-        fs, costs, unc = pipeline.run_icp_fused(fs, cfg)
+        # _checked: if the sorted-window backend loses coverage mid-run,
+        # W is re-sized and the whole fused program re-runs from the
+        # starting poses rather than returning a degraded result
+        fs, costs, unc, cfg = pipeline.run_icp_fused_checked(fs, cfg)
         total = timer.toc("fused outer loop", block_on=fs.poses)
         print(f"{args.rounds} fused rounds in {total:.3f}s "
               f"({total/args.rounds*1e3:.1f} ms/round incl. compile)")
-        unc = np.asarray(unc)
         for i, c in enumerate(np.asarray(costs)):
-            extra = (f"  UNCOVERED: {int(unc[i])} queries lost window "
-                     "coverage" if unc[i] else "")
-            print(f"round: {i}  cost: {float(c):.6g}{extra}")
-        if unc.any():
-            print(f"WARNING: window={cfg.window} lost coverage mid-run "
-                  f"(max {int(unc.max())} queries/round) — results "
-                  "dropped those correspondences; re-run with a larger "
-                  "--window")
+            print(f"round: {i}  cost: {float(c):.6g}")
     elif args.sharded and len(jax.devices()) > 1:
         from ..parallel import mesh as mesh_mod
         from ..parallel import sharded
@@ -382,7 +385,9 @@ def _run(args, cfg, fs, edges, timer, start_round):
             watch.update(rmse, prune_on=cfg.prune)
             snap(i, fs)
             if args.checkpoint:
-                checkpoint.save(args.checkpoint, fs, i + 1)
+                checkpoint.save(args.checkpoint, fs, i + 1,
+                                rng_key=[args.seed],
+                                extra={"window": cfg.window})
     else:
         for i in range(start_round, args.rounds):
             timer.tic()
@@ -411,7 +416,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 fs, edges, corr, param_name=cfg.param_name,
                 metric=cfg.metric, robust=cfg.robust,
                 use_autodiff=cfg.use_autodiff, config=cfg.lm,
-                schur_elim=cfg.schur_elim)
+                schur_elim=cfg.schur_elim, loss=cfg.loss)
             timer.toc(f"global {i}", block_on=fs.poses)
             rmse = metrics.alignment_rmse(fs)
             print(f"round: {i}  lm_iters: {int(stats.iterations)}  "
@@ -421,7 +426,9 @@ def _run(args, cfg, fs, edges, timer, start_round):
             watch.update(rmse, prune_on=cfg.prune)
             snap(i, fs, corr.weight, corr=corr)
             if args.checkpoint:
-                checkpoint.save(args.checkpoint, fs, i + 1)
+                checkpoint.save(args.checkpoint, fs, i + 1,
+                                rng_key=[args.seed],
+                                extra={"window": cfg.window})
 
     if args.fused:
         # the fused branch has no per-round host visibility; render once

@@ -122,6 +122,41 @@ def run_icp(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(),
     return fs, history
 
 
+@jax.jit
+def window_need(fs: frameset.FrameSet, edges: jnp.ndarray, cutoff: float):
+    """Max sorted-window rows any edge's query tiles span at fs.poses —
+    the W the sorted-window backend needs for full coverage of this data
+    right now. One fused program over all edges (vmap), not a host loop
+    with per-edge dispatch."""
+    from ..ops import nn_window, se3
+
+    def per_edge(edge):
+        s, d = edge[0], edge[1]
+        rel = se3.compose(se3.inverse(fs.poses[d]), fs.poses[s])
+        q = se3.apply(rel, fs.points[s])
+        return nn_window.window_shortfall(
+            q, fs.points[d], fs.valid[d], cutoff, query_valid=fs.valid[s])
+
+    return jnp.max(jax.vmap(per_edge)(edges))
+
+
+def autoraise_window(cfg: ICPConfig, fs: frameset.FrameSet,
+                     edges: jnp.ndarray, floor: int = 0,
+                     quiet: bool = False) -> ICPConfig:
+    """Return cfg with window W >= what the data needs at fs.poses
+    (rounded up to the 2048-row tile granularity plus one tile margin)."""
+    if not cfg.use_window:
+        return cfg
+    need = max(floor, int(window_need(fs, edges, cfg.cutoff)))
+    need = -(-(need + 2048) // 2048) * 2048   # tile granularity + margin
+    if cfg.window < need:
+        if not quiet:
+            print(f"--window {cfg.window} cannot cover every query tile "
+                  f"on this data (needs ~{need}); raising to {need}")
+        cfg = dataclasses.replace(cfg, window=need)
+    return cfg
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def run_icp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig()):
     """The full outer ICP loop as one compiled program.
@@ -191,3 +226,55 @@ def run_gicp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(), *,
     unc0 = jnp.zeros(cfg.rounds, dtype=jnp.int32)
     fs, chis, unc = jax.lax.fori_loop(0, cfg.rounds, body, (fs, chis0, unc0))
     return fs, chis, unc
+
+
+def _run_fused_checked(runner, fs0: frameset.FrameSet, cfg: ICPConfig,
+                       max_retries: int, **kw):
+    """Coverage-safe fused driver: run the fused program; if the
+    sorted-window backend lost coverage mid-run (uncovered > 0 — those
+    correspondences were silently dropped, so the whole run is degraded,
+    frame.cpp:156-160's every-point-gets-its-true-NN contract broken),
+    re-size W at the drifted poses and RE-RUN from the original poses
+    instead of returning the degraded result. Raises RuntimeError if W
+    still cannot cover after ``max_retries`` re-sizes."""
+    edges = None
+    for _ in range(max_retries + 1):
+        fs, series, unc = runner(fs0, cfg, **kw)
+        if not cfg.use_window or not bool(jnp.any(unc > 0)):
+            return fs, series, unc, cfg
+        if edges is None:
+            edges = frameset.knn_pose_graph(fs0.poses, cfg.knn)
+        import warnings
+
+        warnings.warn(
+            f"fused run lost window coverage "
+            f"(max {int(jnp.max(unc))} queries/round at window="
+            f"{cfg.window}); re-sizing W and re-running", stacklevel=3)
+        # size W against BOTH the start and the drifted end poses, plus a
+        # tile of slack for the trajectory in between
+        cfg = autoraise_window(cfg, fs0, edges, floor=cfg.window + 2048,
+                               quiet=True)
+        cfg = autoraise_window(cfg, fs, edges, floor=cfg.window,
+                               quiet=True)
+    raise RuntimeError(
+        f"window coverage still lost after {max_retries} re-sizes "
+        f"(window={cfg.window}); use the host-driven loop (run_icp) or a "
+        "non-window NN backend for this data")
+
+
+def run_icp_fused_checked(fs: frameset.FrameSet,
+                          cfg: ICPConfig = ICPConfig(),
+                          max_retries: int = 2):
+    """:func:`run_icp_fused` with the window-coverage guarantee restored.
+
+    Returns (fs_final, per-round costs, per-round uncovered (all zero on
+    success), the cfg actually used — its window may have been raised)."""
+    return _run_fused_checked(run_icp_fused, fs, cfg, max_retries)
+
+
+def run_gicp_fused_checked(fs: frameset.FrameSet,
+                           cfg: ICPConfig = ICPConfig(),
+                           max_retries: int = 2, **kw):
+    """:func:`run_gicp_fused` with the window-coverage guarantee restored
+    (same contract as :func:`run_icp_fused_checked`)."""
+    return _run_fused_checked(run_gicp_fused, fs, cfg, max_retries, **kw)

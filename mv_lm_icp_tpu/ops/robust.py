@@ -55,7 +55,11 @@ def soft_l1_norm(s: jnp.ndarray, scale) -> tuple:
     reference's Ceres semantics (icp-ceres.cpp:283-284) stay the default.
     """
     b = jnp.square(scale)
-    b = jnp.maximum(b, jnp.finfo(s.dtype).tiny)
+    # floor at eps, not finfo.tiny: 1/b is the quadratic-regime weight, so
+    # a degenerate scale (e.g. an edge whose matches are all self-matches
+    # at distance 0) would otherwise produce ~1/tiny ~ 8.5e37 weights that
+    # overflow the f32 Hessian accumulation to inf
+    b = jnp.maximum(b, jnp.finfo(s.dtype).eps)
     root = jnp.sqrt(1.0 + s / b)
     return 2.0 * (root - 1.0), (1.0 / b) / root
 

@@ -39,13 +39,21 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def pad_edges(edges: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    """Pad the edge list to a multiple of the edge-mesh size with
-    self-loops on frame 0 (fixed frame -> contributes nothing)."""
+    """Pad the edge list to a multiple of the edge-mesh size with the
+    invalid sentinel (-1, -1).
+
+    Padded rows are masked out unconditionally inside the sharded rounds
+    (``_device_correspondences`` drops every correspondence of a
+    sentinel edge), so padding can never contribute to the system. A
+    frame-0 self-loop pad would rely on the fixed-frame mask, which the
+    ``fixed_src_edges`` (--anchor-edges) mode disables — self-matches
+    then have distance 0, a zero robust scale, and a near-singular
+    soft_l1_norm reweight that overflows the Hessian."""
     E = edges.shape[0]
     target = -(-E // multiple) * multiple
     if target == E:
         return edges
-    pad = jnp.zeros((target - E, 2), dtype=edges.dtype)
+    pad = jnp.full((target - E, 2), -1, dtype=edges.dtype)
     return jnp.concatenate([edges, pad], axis=0)
 
 
@@ -57,12 +65,19 @@ def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
     point-axis all_gather of distances (frame.cpp:166-176 semantics over
     the full edge).
 
+    ``edges_loc`` may contain (-1, -1) sentinel rows from
+    :func:`pad_edges`; every correspondence of such a row is marked
+    invalid (the caller must clamp its own copy of the indices before
+    gathering with them).
+
     Returns (idxs [El, nloc], dists, oks, weights [El], starts [El],
     nloc, uncovered int32 — psum'd over the whole mesh).
     """
     pidx = jax.lax.axis_index(mesh_mod.POINT_AXIS)
     nloc = N // n_point
     start = pidx * nloc
+    edge_valid = edges_loc[:, 0] >= 0       # pad sentinel rows -> False
+    edges_loc = jnp.maximum(edges_loc, 0)   # clamp for safe gathers
     src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
 
     def edge_query(edge):
@@ -115,6 +130,7 @@ def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
 
     dists = jnp.sqrt(d2s)
     oks = jnp.logical_and(dists < cfg.cutoff, src_valid)
+    oks = jnp.logical_and(oks, edge_valid[:, None])
     if not cfg.fixed_src_edges:
         oks = jnp.logical_and(oks, ~fs_rep.fixed[src_idx][:, None])
     # robust scale needs each whole edge's distances: gather the
@@ -164,10 +180,13 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
     def device_fn(fs_rep, edges_loc):
         """Runs per device: edges_loc is this device's edge slice; the
         point axis is sliced by this device's coordinate."""
-        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
         (idxs, dists, oks, weights, starts, nloc,
          uncovered) = _device_correspondences(fs_rep, edges_loc, cfg, N,
                                               n_point)
+        # pad sentinel rows: oks is already all-False for them; clamp the
+        # indices so the gathers/scatters below stay in range
+        edges_loc = jnp.maximum(edges_loc, 0)
+        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
 
         if cfg.comm == "blocks":
             # edge keys are LM-iteration-invariant: gather them once
@@ -208,8 +227,12 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
                     H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk, precision=_HI)
                 return cost_e, g_h, g_k, H_hh, H_hk, H_kk
 
-            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
-                edge_terms, jnp.arange(edges_loc.shape[0]))
+            # vmap (not lax.map): each device owns few edges, so batching
+            # them keeps the MXU fed — same shape as the single-device
+            # path (solvers/multiview.py) and the sharded GICP path below.
+            # Measured on the 8-device CPU mesh: see BENCHMARKS.md.
+            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.vmap(edge_terms)(
+                jnp.arange(edges_loc.shape[0]))
             cost = jnp.sum(cost_e)
             cost = jax.lax.psum(cost, (mesh_mod.EDGE_AXIS,
                                        mesh_mod.POINT_AXIS))
@@ -296,10 +319,11 @@ def sharded_posegraph_round(fs: frameset.FrameSet, edges: jnp.ndarray,
     free6 = jnp.repeat(free, 6)
 
     def device_fn(fs_rep, edges_loc):
-        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
         (idxs, dists, oks, weights, starts, nloc,
          uncovered) = _device_correspondences(fs_rep, edges_loc, cfg, N,
                                               n_point)
+        edges_loc = jnp.maximum(edges_loc, 0)   # pad sentinel clamp
+        src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
 
         if cfg.comm == "blocks":
             src_all = jax.lax.all_gather(

@@ -184,9 +184,14 @@ def chi2_outer_loop(poses, build_system, apply_delta, *,
         fixedpoint = jnp.all(new_poses == poses)
         impr = (last - chi2) / jnp.maximum(last, 1e-30)
         first = ~jnp.isfinite(last)
+        # cumulative counter, g2o-faithful: the reference increments
+        # noImpr on every non-improving round and NEVER resets it
+        # (icp-g2o.cpp:285-297 'noImpr++' with no reset branch), breaking
+        # once 6 such rounds have accumulated — improving rounds leave
+        # the count unchanged rather than clearing it
         stagnant = jnp.where(
             jnp.logical_or(first, impr > rel_improvement),
-            0, stagnant + 1)
+            stagnant, stagnant + 1)
         stagnant = jnp.where(fixedpoint, stagnant_break, stagnant)
         return (new_poses, chi2, stagnant, i + 1, hist.at[i].set(chi2), tr)
 

@@ -28,7 +28,8 @@ def save(path: str, fs, round_idx: int = 0, rng_key=None, extra=None):
 
 def restore(path: str, fs):
     """Returns (fs with restored poses/gt_poses/fixed, round_idx,
-    rng_key or None)."""
+    rng_key or None). ``extra_*`` entries saved via ``extra=`` come back
+    through :func:`restore_extra` (e.g. the learned window W)."""
     import jax.numpy as jnp
 
     data = np.load(path)
@@ -39,3 +40,10 @@ def restore(path: str, fs):
     )
     rng = data["rng_key"] if "rng_key" in data else None
     return fs, int(data["round"]), rng
+
+
+def restore_extra(path: str) -> dict:
+    """The ``extra=`` payload of a checkpoint, keys un-prefixed."""
+    data = np.load(path)
+    return {k[len("extra_"):]: data[k] for k in data.files
+            if k.startswith("extra_")}

@@ -94,7 +94,11 @@ class DivergenceWatch:
         if self.prev is not None and \
                 value > self.prev * (1.0 + self.min_rel_rise):
             self.rising += 1
-        elif self.prev is None or value < self.prev:
+        else:
+            # any non-rising round (drop OR plateau within the rise
+            # threshold) breaks the consecutive streak — otherwise rises
+            # separated by plateaus accumulate and fire spuriously on a
+            # long wobbling-but-converged run
             self.rising = 0
         self.prev = value
         if self.rising >= self.patience and not self.fired:

@@ -12,6 +12,14 @@ backend is initialized.
 """
 import os
 
+# never touch the persistent compile cache from tests: the CPU backend's
+# cache entries are machine-specific AOT executables, and deserializing an
+# entry written on another host (e.g. the committed .jax_cache from a TPU
+# bench rig) SIGILLs the whole pytest process — the round-3 full-suite
+# segfault. The package's import-time enablement is already platform-
+# gated; this env var makes the suite immune regardless of import order.
+os.environ.setdefault("MVICP_NO_COMPILE_CACHE", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

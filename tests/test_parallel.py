@@ -72,8 +72,8 @@ class TestShardedConvergence:
         assert rmse1 < rmse0 * 1e-2, (rmse0, rmse1)
 
     def test_edge_padding(self):
-        """Edge count not divisible by mesh size: padded with fixed-frame
-        self-loops that must not change the solution."""
+        """Edge count not divisible by mesh size: padded with sentinel
+        rows that must not change the solution."""
         fs = synthetic_frameset(F=3, N=128, sigma=0.02, sigmat=0.01, seed=6)
         cfg = cfg_for_tests(rounds=1, nn_chunk=64)
         edges = frameset.knn_pose_graph(fs.poses, 2)  # E = 6
@@ -83,6 +83,29 @@ class TestShardedConvergence:
         fs_shard, _ = sharded.sharded_icp_round(fs, edges, cfg, m)
         np.testing.assert_allclose(np.asarray(fs_shard.poses),
                                    np.asarray(fs_single.poses), atol=1e-8)
+
+    @pytest.mark.parametrize("loss", ["soft_l1", "soft_l1_norm"])
+    def test_edge_padding_anchor_edges(self, loss):
+        """Advisor r3 (high): padded edges must stay inert when
+        fixed_src_edges=True disables the fixed-frame mask. Frame-0
+        self-loop padding used to become live zero-distance matches whose
+        zero robust scale made soft_l1_norm reweight by ~1/tiny,
+        overflowing the f32 Hessian to inf -> NaN after the gauge mask —
+        every LM step then got rejected and the sharded solve silently
+        returned the input poses bit-unchanged."""
+        fs = synthetic_frameset(F=3, N=128, sigma=0.02, sigmat=0.01, seed=6)
+        cfg = cfg_for_tests(rounds=1, nn_chunk=64, loss=loss,
+                            fixed_src_edges=True)
+        edges = frameset.knn_pose_graph(fs.poses, 2)  # E = 6 -> pad to 8
+        fs_single, _, _ = pipeline.icp_round(fs, edges, cfg)
+        m = mesh_mod.make_mesh(shape=(8, 1))
+        fs_shard, _ = sharded.sharded_icp_round(fs, edges, cfg, m)
+        # the solve must actually move the poses (the bug's symptom was a
+        # bit-unchanged return), and must match the single-device path
+        assert not np.allclose(np.asarray(fs_shard.poses),
+                               np.asarray(fs.poses), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(fs_shard.poses),
+                                   np.asarray(fs_single.poses), atol=1e-7)
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
