@@ -1,20 +1,24 @@
 """Frame-sharded multiview ICP with ppermute halo exchange — the
 framework's ring-attention analogue (SURVEY §5 'long-context': each frame
-attends to its k=2 neighbours, forming exactly a ring).
+attends to its nearby neighbours, forming a band around the diagonal).
 
 Unlike parallel/sharded.py (FrameSet replicated, edges sharded), here the
 *clouds themselves* are partitioned: device d owns frames
-[d*Floc, (d+1)*Floc) and only ever materializes its own points plus a
-one-frame halo from each ring neighbour, exchanged with
-``lax.ppermute`` — O(N) neighbour traffic per round instead of O(F*N)
+[d*Floc, (d+1)*Floc) and only ever materializes its own points plus an
+H-frame halo from each ring neighbour, exchanged with
+``lax.ppermute`` — O(H*N) neighbour traffic per round instead of O(F*N)
 replication. This is the configuration for scenes too large for one
 chip's HBM (BASELINE 'large synthetic scene sharded across hosts').
 
-Topology contract: the frame graph is the ring i <-> i+-1 (mod F) — which
-is precisely the Bunny KNN graph (chain + loop closure, README.md:161-179)
-— and F must divide evenly over the mesh. Each ordered ring edge
-(i -> i+1) and (i -> i-1) contributes its correspondence block; the
-blocked normal equations psum over the frame axis and the tiny gauge-fixed
+Topology contract (generalized round 4): any **banded** frame graph —
+every edge (i, j) with circular offset |i-j| mod F <= H for some H — runs
+frame-sharded, with H ppermute hops per direction and a per-(frame,
+offset) inclusion mask selecting exactly the concrete edge list. The
+reference's ``FLAGS_knn`` graphs (src/main_multiview.cpp:36) are banded
+for any knn on trajectory-ordered scans: knn=2 gives the classic ring
+H=1 (chain + loop closure, README.md:161-179), knn=3 gives H=2, etc.
+Each included edge contributes its correspondence block; the blocked
+normal equations psum over the frame axis and the tiny gauge-fixed
 [6F, 6F] solve is replicated, exactly like the other distributed paths.
 """
 from __future__ import annotations
@@ -44,15 +48,52 @@ def ring_edges(F: int) -> jnp.ndarray:
     return jnp.concatenate([nxt, prv], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"))
-def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
-    """One ICP round with frame-sharded clouds and ring halo exchange.
+def band_structure(edges, F: int):
+    """Banded-graph structure of a concrete edge list.
 
-    ``mesh`` must be a 1-axis Mesh named 'frames'; fs.num_frames must be a
-    multiple of its size. Returns (FrameSet with updated poses
-    (replicated; cloud shards stay put), uncovered int32 — valid queries
-    that lost the window-coverage proof; 0 on the brute backend).
+    Returns (H, mask): H is the maximal circular offset any edge spans
+    (the halo depth), mask is a (F, 2H) bool array whose columns are the
+    offsets [+1..+H, -1..-H] — mask[i, c] says frame i has an outgoing
+    edge to frame (i + offset_c) mod F. Every frame graph over
+    trajectory-ordered scans is banded; H grows with the reference's
+    ``FLAGS_knn`` (main_multiview.cpp:36).
     """
+    import numpy as np
+
+    e = np.asarray(edges)
+    delta = (e[:, 1] - e[:, 0]) % F
+    if np.any(delta == 0):
+        raise ValueError("self-edges are not valid frame-graph edges")
+    signed = np.where(delta <= F // 2, delta, delta - F)
+    H = int(np.max(np.abs(signed)))
+    col = np.where(signed > 0, signed - 1, H - signed - 1)
+    mask = np.zeros((F, 2 * H), bool)
+    mask[e[:, 0], col] = True
+    return H, mask
+
+
+def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh,
+                   edges=None):
+    """One ICP round with frame-sharded clouds and banded halo exchange.
+
+    ``mesh`` must be a 1-axis Mesh named 'frames'; fs.num_frames must be
+    a multiple of its size. ``edges`` is any banded edge list (default:
+    the H=1 ring — the reference's knn=2 Bunny graph); its band depth H
+    sets the halo width (H ppermute hops per direction per round).
+    Returns (FrameSet with updated poses (replicated; cloud shards stay
+    put), uncovered int32 — valid queries that lost the window-coverage
+    proof; 0 on the brute backend).
+    """
+    F = fs.num_frames
+    if edges is None:
+        edges = ring_edges(F)
+    H, mask = band_structure(edges, F)
+    return _ring_icp_round(fs, jnp.asarray(mask), cfg, mesh, H)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "H"))
+def _ring_icp_round(fs: frameset.FrameSet, mask: jnp.ndarray,
+                    cfg: ICPConfig, mesh, H: int):
     n_dev = mesh.shape[AXIS]
     F, N = fs.num_frames, fs.num_points
     assert F % n_dev == 0, (F, n_dev)
@@ -63,45 +104,49 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
                else robust_mod.trivial)
     free = (~fs.fixed).astype(fs.points.dtype)
     free6 = jnp.repeat(free, 6)
+    # offsets in mask-column order: [+1..+H, -1..-H]
+    offsets = list(range(1, H + 1)) + [-h for h in range(1, H + 1)]
+    hops = -(-H // floc)   # ppermute hops per direction to fill the halo
 
     fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]
     bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]
 
-    def device_fn(pts_loc, nor_loc, val_loc, poses, gt, fixed):
+    def device_fn(pts_loc, nor_loc, val_loc, mask_loc, poses, gt, fixed):
         # pts_loc: (floc, N, 3) — this device's frames only.
         didx = jax.lax.axis_index(AXIS)
         base = didx * floc
 
-        # halo exchange: receive the succeeding device's FIRST frame
-        # (global frame base+floc) and the preceding device's LAST frame
-        # (global frame base-1), each one ppermute.
-        def halo(x):
-            nxt = jax.lax.ppermute(x[0], AXIS, bwd)    # from device d+1
-            prv = jax.lax.ppermute(x[-1], AXIS, fwd)   # from device d-1
-            return prv, nxt
+        def ext(x):
+            """(floc + 2H, ...) — the local block extended by an H-frame
+            halo on each side, filled by ``hops`` ppermutes of the whole
+            block per direction (multi-device hops when H > floc)."""
+            prv_blocks, nxt_blocks = [], []
+            cur = x
+            for _ in range(hops):
+                cur = jax.lax.ppermute(cur, AXIS, fwd)   # d-1, d-2, ...
+                prv_blocks.append(cur)
+            cur = x
+            for _ in range(hops):
+                cur = jax.lax.ppermute(cur, AXIS, bwd)   # d+1, d+2, ...
+                nxt_blocks.append(cur)
+            prv = jnp.concatenate(list(reversed(prv_blocks)) + [x[:0]],
+                                  axis=0)[-H:]
+            nxt = jnp.concatenate([x[:0]] + nxt_blocks, axis=0)[:H]
+            return jnp.concatenate([prv, x, nxt], axis=0)
 
-        prv_pts, nxt_pts = halo(pts_loc)
-        prv_nor, nxt_nor = halo(nor_loc)
-        prv_val, nxt_val = halo(val_loc)
+        pts_e, nor_e, val_e = ext(pts_loc), ext(nor_loc), ext(val_loc)
         f_loc = jnp.arange(floc)
 
-        # dst cloud stacks per ring direction (0 = +1 neighbour, 1 = -1):
-        # local frames shifted by one slot, the halo'd frame filling the
-        # shard boundary. Static concatenates -> the whole direction's
-        # edges batch into ONE NN dispatch (any of the four backends,
-        # incl. both Pallas kernels — the HBM-limited regime this path
-        # exists for is exactly where they matter, VERDICT r2 #4).
-        def direction_corr(direction: int):
-            if direction == 0:
-                d_pts = jnp.concatenate([pts_loc[1:], nxt_pts[None]], 0)
-                d_nor = jnp.concatenate([nor_loc[1:], nxt_nor[None]], 0)
-                d_val = jnp.concatenate([val_loc[1:], nxt_val[None]], 0)
-                dst_g = jnp.mod(base + f_loc + 1, F)
-            else:
-                d_pts = jnp.concatenate([prv_pts[None], pts_loc[:-1]], 0)
-                d_nor = jnp.concatenate([prv_nor[None], nor_loc[:-1]], 0)
-                d_val = jnp.concatenate([prv_val[None], val_loc[:-1]], 0)
-                dst_g = jnp.mod(base + f_loc - 1, F)
+        # per-offset dst cloud stacks: static slices of the extended
+        # block — the whole offset's edges batch into ONE NN dispatch
+        # (any of the four backends, incl. both Pallas kernels — the
+        # HBM-limited regime this path exists for is exactly where they
+        # matter). Edges absent from the concrete graph are masked out
+        # per (frame, offset) via mask_loc.
+        def offset_corr(o: int, col: int):
+            sl = slice(H + o, H + o + floc)
+            d_pts, d_nor, d_val = pts_e[sl], nor_e[sl], val_e[sl]
+            dst_g = jnp.mod(base + f_loc + o, F)
             src_g = base + f_loc
             rel = jax.vmap(lambda s, d: se3.compose(
                 se3.inverse(poses[d]), poses[s]))(src_g, dst_g)
@@ -115,7 +160,6 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
                     query_valid=val_loc)
                 idx = jnp.maximum(idx, 0)
                 d2 = d2.astype(query.dtype)
-                unc = jnp.sum(unc)
             elif cfg.use_window:
                 from ..ops import nn_window
 
@@ -128,40 +172,44 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
 
                 idx, d2, unc = jax.lax.map(
                     one_window, (query, d_pts, d_val, val_loc))
-                unc = jnp.sum(unc)
             elif cfg.use_pallas:
                 from ..kernels import nn_pallas
 
                 idx, d2 = nn_pallas.nn_1_batch(query, d_pts, d_val)
                 d2 = d2.astype(query.dtype)
-                unc = jnp.zeros((), jnp.int32)
+                unc = jnp.zeros(floc, jnp.int32)
             else:
                 def one_brute(args):
                     q, dp, dv = args
                     return nn.nn_1(q, dp, dv, chunk=min(cfg.nn_chunk, N))
 
                 idx, d2 = jax.lax.map(one_brute, (query, d_pts, d_val))
-                unc = jnp.zeros((), jnp.int32)
+                unc = jnp.zeros(floc, jnp.int32)
 
+            included = mask_loc[:, col]                   # (floc,)
             dist = jnp.sqrt(d2)
             ok = jnp.logical_and(dist < cfg.cutoff, val_loc)
+            ok = jnp.logical_and(ok, included[:, None])
             if not cfg.fixed_src_edges:
                 ok = jnp.logical_and(ok, ~fixed[src_g][:, None])
             weight = 1.5 * nn.masked_median(dist, ok)
             if cfg.prune:
                 ok = jnp.logical_and(ok, dist <= weight[:, None])
+            # excluded edges never count window-coverage losses
+            unc = jnp.sum(jnp.where(included, unc, 0))
             q_e = jnp.take_along_axis(d_pts, idx[..., None], axis=1)
             n_e = jnp.take_along_axis(d_nor, idx[..., None], axis=1)
             return (idx, ok.astype(pts_loc.dtype), weight, q_e, n_e,
                     src_g, dst_g, unc)
 
+        per_off = [offset_corr(o, c) for c, o in enumerate(offsets)]
         corr = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b], axis=0)
-            if a.ndim else a + b,
-            direction_corr(0), direction_corr(1))
+            lambda *xs: (jnp.concatenate(xs, axis=0) if xs[0].ndim
+                         else sum(xs)), *per_off)
         (idxs, oks, weights, q_e, n_e, src_gs, dst_gs, unc_sum) = corr
         uncovered = jax.lax.psum(unc_sum, AXIS)
-        p_e = jnp.concatenate([pts_loc, pts_loc], axis=0)
+        n_edges_loc = len(offsets) * floc
+        p_e = jnp.concatenate([pts_loc] * len(offsets), axis=0)
 
         if cfg.comm == "blocks":
             # edge keys are LM-iteration-invariant: gather them once
@@ -201,22 +249,22 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
                 return cost_e, g_h, g_k, H_hh, H_hk, H_kk
 
             cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
-                edge_terms, jnp.arange(2 * floc))
+                edge_terms, jnp.arange(n_edges_loc))
             cost = jax.lax.psum(jnp.sum(cost_e), AXIS)
             if cfg.comm == "blocks":
                 # move O(E) per-edge blocks instead of the dense system
                 gh, gk, hhh, hhk, hkk = [
                     jax.lax.all_gather(x, AXIS, tiled=True, axis=0)
                     for x in (g_h, g_k, H_hh, H_hk, H_kk)]
-                G, H = assemble.assemble_dense(
+                G, Hm = assemble.assemble_dense(
                     F, src_all, dst_all, gh, gk, hhh, hhk, hkk)
             else:
-                G, H = assemble.assemble_dense(
+                G, Hm = assemble.assemble_dense(
                     F, src_gs, dst_gs, g_h, g_k, H_hh, H_hk, H_kk)
                 G = jax.lax.psum(G, AXIS)
-                H = jax.lax.psum(H, AXIS)
+                Hm = jax.lax.psum(Hm, AXIS)
             g = G.reshape(F * 6) * free6
-            Hm = H.reshape(F * 6, F * 6)
+            Hm = Hm.reshape(F * 6, F * 6)
             Hm = Hm * free6[:, None] * free6[None, :] \
                 + jnp.diag(1.0 - free6)
             return cost, g, Hm
@@ -241,8 +289,9 @@ def ring_icp_round(fs: frameset.FrameSet, cfg: ICPConfig, mesh):
 
     poses, uncovered = shard_map(
         device_fn, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(fs.points, fs.normals, fs.valid, fs.poses, fs.gt_poses, fs.fixed)
+    )(fs.points, fs.normals, fs.valid, mask, fs.poses, fs.gt_poses,
+      fs.fixed)
     return fs.replace(poses=poses), uncovered

@@ -81,6 +81,67 @@ class TestRingCommModes:
                                    np.asarray(fs_d.poses), atol=1e-7)
 
 
+class TestBandedRing:
+    """Round-4 generalization: any banded frame graph (the reference's
+    FLAGS_knn > 2 graphs, main_multiview.cpp:36) runs frame-sharded with
+    an H-hop halo + per-(frame, offset) edge mask — parity with the
+    replicated solver on the concrete knn=3 graph."""
+
+    def test_band_structure(self):
+        F = 8
+        e = np.asarray(ring.ring_edges(F))
+        H, mask = ring.band_structure(e, F)
+        assert H == 1 and mask.shape == (F, 2) and mask.all()
+        # knn=3-style: add +-2 edges for frame 0 only
+        e2 = np.concatenate([e, [[0, 2], [0, 6]]], axis=0)
+        H2, m2 = ring.band_structure(e2, F)
+        assert H2 == 2 and m2.shape == (F, 4)
+        assert m2[0].all() and m2[1, 1] == False  # noqa: E712
+        with pytest.raises(ValueError):
+            ring.band_structure(np.asarray([[1, 1]]), F)
+
+    @pytest.mark.parametrize("n_dev", [2, 4])
+    def test_knn3_parity(self, n_dev):
+        from mv_lm_icp_tpu.models import frameset as fsm
+
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=21)
+        cfg = cfg_for()
+        edges = fsm.knn_pose_graph(fs.poses, 3)
+        H, _ = ring.band_structure(edges, fs.num_frames)
+        assert H >= 2   # knn=3 must exceed the +-1 ring
+        corr = correspond.find_correspondences(fs, edges, cfg.cutoff,
+                                               chunk=cfg.nn_chunk)
+        fs_dense, _ = mv.solve_multiview(
+            fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
+            robust=cfg.robust, config=cfg.lm)
+        fs_ring, _ = ring.ring_icp_round(fs, cfg, ring_mesh(n_dev),
+                                         edges=edges)
+        np.testing.assert_allclose(np.asarray(fs_ring.poses),
+                                   np.asarray(fs_dense.poses), atol=1e-8)
+
+    def test_deep_halo_multi_hop(self):
+        """H > floc forces multi-device ppermute hops (8 frames over 8
+        devices, knn=5-style band H=2 > floc=1)."""
+        from mv_lm_icp_tpu.models import frameset as fsm
+
+        fs = synthetic_frameset(F=8, N=128, sigma=0.03, sigmat=0.02,
+                                seed=24)
+        cfg = cfg_for()
+        edges = fsm.knn_pose_graph(fs.poses, 4)
+        H, _ = ring.band_structure(edges, fs.num_frames)
+        assert H >= 2
+        corr = correspond.find_correspondences(fs, edges, cfg.cutoff,
+                                               chunk=cfg.nn_chunk)
+        fs_dense, _ = mv.solve_multiview(
+            fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
+            robust=cfg.robust, config=cfg.lm)
+        fs_ring, _ = ring.ring_icp_round(fs, cfg, ring_mesh(8),
+                                         edges=edges)
+        np.testing.assert_allclose(np.asarray(fs_ring.poses),
+                                   np.asarray(fs_dense.poses), atol=1e-8)
+
+
 class TestRingConvergence:
     def test_multi_round(self):
         from mv_lm_icp_tpu.utils import metrics
