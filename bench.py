@@ -50,21 +50,77 @@ def enable_compile_cache():
 
 
 def chain_time(make_chain, k1=8, k2=32, reps=3):
-    """Per-iteration seconds via two-point slope; cancels RPC floor."""
-    import numpy as np
+    """Per-iteration seconds via two-point slope; cancels RPC floor.
 
+    Pick (k1, k2) so (k2-k1) * per-iter-time >> the tunnel's per-fetch
+    jitter (a few ms): the round-3 closed-form '11x regression' was this
+    method measuring a 0.34 ms chain delta through ~ms-level jitter.
+
+    Returns (slope from min-of-reps, spread dict with every rep — the
+    artifact's variance record, VERDICT r3 #8)."""
     f1, f2 = make_chain(k1), make_chain(k2)
     float(f1())  # compile
     float(f2())
-    t1 = min(_timed_fetch(f1) for _ in range(reps))
-    t2 = min(_timed_fetch(f2) for _ in range(reps))
-    return max((t2 - t1) / (k2 - k1), 1e-9), t1, t2
+    t1s = [_timed_fetch(f1) for _ in range(reps)]
+    t2s = [_timed_fetch(f2) for _ in range(reps)]
+    slope = max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    # worst-case slope across rep pairings bounds the jitter's leverage
+    hi = max((max(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    lo = max((min(t2s) - max(t1s)) / (k2 - k1), 1e-9)
+    spread = {
+        "k": [k1, k2], "reps": reps,
+        "t1_ms": [round(t * 1e3, 2) for t in t1s],
+        "t2_ms": [round(t * 1e3, 2) for t in t2s],
+        "slope_ms": round(slope * 1e3, 4),
+        "slope_lo_ms": round(lo * 1e3, 4),
+        "slope_hi_ms": round(hi * 1e3, 4),
+    }
+    return slope, spread
 
 
 def _timed_fetch(f):
     t0 = time.perf_counter()
     float(f())  # scalar fetch forces full completion
     return time.perf_counter() - t0
+
+
+def drift_check(spreads, prev_path="BENCH_r03.json"):
+    """Compare this run's per-metric slopes against the previous round's
+    recorded values; flag >2x drift loudly (VERDICT r3 #8 — the silent
+    0.014 -> 0.163 ms closed-form swing)."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(f for f in os.listdir(here)
+                   if re.match(r"BENCH_r\d+\.json$", f))
+    if not prevs:
+        return
+    try:
+        with open(os.path.join(here, prevs[-1])) as fh:
+            prev = json.load(fh)
+        tail = prev.get("tail", "")
+    except Exception:
+        return
+    # previous rounds record ms values in the stderr tail lines
+    pats = {
+        "lm": r"LM: ([\d.]+) ms/solve",
+        "closedform": r"closed-form p2pt: ([\d.]+) ms/solve",
+        "multiview": r"fused[^:]*: ([\d.]+) ms/round",
+    }
+    for name, pat in pats.items():
+        if name not in spreads:
+            continue
+        m = re.search(pat, tail)
+        if not m:
+            continue
+        old = float(m.group(1))
+        new = spreads[name]["slope_ms"]
+        ratio = max(new, 1e-9) / max(old, 1e-9)
+        if ratio > 2.0 or ratio < 0.5:
+            log(f"DRIFT {name}: {old:.3f} -> {new:.3f} ms "
+                f"({ratio:.2f}x vs {prevs[-1]}) — check spread "
+                f"{spreads[name]}")
 
 
 def main():
@@ -99,9 +155,12 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return run
 
-    t_lm, t1, t2 = chain_time(lm_chain)
+    spreads = {}
+    # 56 * 1.6 ms ~ 90 ms chain delta: far above tunnel jitter
+    t_lm, spreads["lm"] = chain_time(lm_chain, k1=8, k2=64)
     log(f"pairwise p2pl se3 LM: {t_lm*1e3:.2f} ms/solve "
-        f"(chains: {t1*1e3:.1f} / {t2*1e3:.1f} ms)")
+        f"(spread {spreads['lm']['slope_lo_ms']:.2f}.."
+        f"{spreads['lm']['slope_hi_ms']:.2f} ms)")
     est, _ = lm.solve_pairwise(pts, dst, nor_dst, param_name="se3",
                                metric="point_to_plane")
     dt, dr = se3.pose_diff(gt, est)
@@ -116,8 +175,13 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return run
 
-    t_cf, _, _ = chain_time(cf_chain)
-    log(f"closed-form p2pt: {t_cf*1e3:.3f} ms/solve (ref 1 ms)")
+    # ~0.04 ms/solve: 448 iterations ~ 20 ms chain delta, vs the 0.34 ms
+    # the round-3 config measured through ms-level jitter (the "11x
+    # regression" was measurement resolution, not a kernel change)
+    t_cf, spreads["closedform"] = chain_time(cf_chain, k1=64, k2=512)
+    log(f"closed-form p2pt: {t_cf*1e3:.3f} ms/solve (ref 1 ms; spread "
+        f"{spreads['closedform']['slope_lo_ms']:.3f}.."
+        f"{spreads['closedform']['slope_hi_ms']:.3f} ms)")
 
     # secondary: full multiview ICP round at the reference's FULL default
     # workload (18 Bunny frames x 16.9k pts, knn=2, cutoff=0.05, robust
@@ -142,9 +206,11 @@ def main():
                 return jnp.sum(fs2.poses) + costs[-1]
             return run
 
-        t_mv, _, _ = chain_time(mv_chain, k1=2, k2=6)
+        t_mv, spreads["multiview"] = chain_time(mv_chain, k1=2, k2=6)
         log(f"multiview ICP round (18 frames x 16.9k pts, fused, "
-            f"pallas NN): {t_mv*1e3:.1f} ms/round")
+            f"pallas NN): {t_mv*1e3:.1f} ms/round (spread "
+            f"{spreads['multiview']['slope_lo_ms']:.1f}.."
+            f"{spreads['multiview']['slope_hi_ms']:.1f} ms)")
     except Exception as e:  # secondary metrics must never break the line
         log(f"multiview bench skipped: {e}")
 
@@ -205,6 +271,9 @@ def main():
             "compile cache?); re-run benchmarks/accuracy_f64.py manually")
     except Exception as e:
         log(f"f64 accuracy probe skipped ({type(e).__name__}: {e})")
+
+    log("spreads: " + json.dumps(spreads))
+    drift_check(spreads)
 
     result = {
         "metric": "pairwise_p2pl_se3_lm_solve",
