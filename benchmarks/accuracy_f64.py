@@ -41,7 +41,12 @@ def main(argv=None):
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: the axon rig compiles SERVER-side and caches there, so a
+        # re-compile jax times at <1 s would never be persisted client-
+        # side with the usual threshold — then a fresh rig (server cache
+        # cold) pays the full f64 compile (~25 min measured round 4)
+        # again. Persist everything so .jax_cache alone can warm any rig.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
