@@ -12,8 +12,10 @@ benchmarks/make_dino_fixture.py — no 2000 s scipy run in CI).
 
 Workload: the reference's dinosaur sample (5 frames, SfM camera files;
 samples/dinosaur) relocalized per utils/datasets.load_raw_frames,
-cutoff=10 (the round-2/3 evaluation config), point stride 4 for CI
-speed.
+cutoff=10 (the round-2/3 evaluation config), point stride 2 for CI
+speed (measured: stride 2 converges to gauge-aligned 0.549 in ~50 s vs
+0.542 at stride 1; stride 4 decimates this low-overlap scene past
+registrability, plateauing at ~1.56).
 """
 import os
 
@@ -28,7 +30,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(FIXTURE),
     reason="oracle fixture missing — run benchmarks/make_dino_fixture.py")
 
-STRIDE = 4
+STRIDE = 2
 CUTOFF = 10.0
 
 
