@@ -128,6 +128,202 @@ def nn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
     return idx[:, 0, :], d2[:, 0, :]
 
 
+def _kkernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
+             idx_ref, d2_ref, best_d, best_i, *, td: int, k: int):
+    """k-NN window step: extract the k smallest distances of this
+    (query-tile x window-tile) block in ascending order and merge each
+    into the running sorted top-k scratch by vectorized insertion.
+
+    Scratch best_d/best_i: (TQ, k), ascending along k. Inserting an
+    arbitrary candidate stream one-by-one into a sorted top-k register
+    file is order-independent, so per tile only its k smallest need
+    extracting. Cost per tile ~ k * 3 passes over (TQ, td) vs the
+    1-NN kernel's 1 pass — still pure VPU, no gathers.
+    """
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    w = pl.program_id(2)
+
+    @pl.when(w == 0)
+    def _init():
+        best_d[...] = jnp.full_like(best_d[...], jnp.inf)
+        best_i[...] = jnp.zeros_like(best_i[...])
+
+    qx, qy, qz = qx_ref[...], qy_ref[...], qz_ref[...]
+    dx = qx - rx_ref[0]                        # (TQ, td)
+    dy = qy - ry_ref[0]
+    dz = qz - rz_ref[0]
+    d2 = dx * dx + dy * dy + dz * dz
+    offset = (starts_ref[e, i] + w) * td
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    bd, bi = best_d[...], best_i[...]          # (TQ, k)
+    for _ in range(k):
+        loc_d = jnp.min(d2, axis=1)[:, None]               # (TQ, 1)
+        loc_a = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+        d2 = jnp.where(col == loc_a, jnp.inf, d2)
+        # insertion: regs > candidate shift right; the first such reg
+        # takes the candidate
+        gt = bd > loc_d                                    # (TQ, k)
+        gt_prev = jnp.concatenate(
+            [jnp.zeros_like(gt[:, :1]), gt[:, :-1]], axis=1)
+        first = jnp.logical_and(gt, jnp.logical_not(gt_prev))
+        sh_d = jnp.concatenate([bd[:, :1], bd[:, :-1]], axis=1)
+        sh_i = jnp.concatenate([bi[:, :1], bi[:, :-1]], axis=1)
+        bd = jnp.where(gt, jnp.where(first, loc_d, sh_d), bd)
+        bi = jnp.where(gt, jnp.where(first, loc_a + offset, sh_i), bi)
+    best_d[...] = bd
+    best_i[...] = bi
+
+    @pl.when(w == pl.num_programs(2) - 1)
+    def _flush():
+        idx_ref[0, ...] = best_i[...]
+        d2_ref[0, ...] = best_d[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "window", "tq", "td", "interpret"))
+def knn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
+                      starts_td: jnp.ndarray, k: int = 10,
+                      window: int = 4096, tq: int = 512, td: int = 2048,
+                      interpret: bool | None = None):
+    """Launch the k-NN window kernel on PRE-SORTED inputs (same contract
+    as :func:`nn_window_sorted`, but k results per query, ascending).
+
+    Returns (idx (E, M, k) int32 into the SORTED ref, d2 (E, M, k))."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    E, M = q_sorted.shape[:2]
+    N = ref_sorted.shape[1]
+    assert window % td == 0 and M % tq == 0 and N % td == 0
+    npq = M // tq
+    nw = window // td
+
+    qcols = tuple(q_sorted[..., i].reshape(E * M, 1) for i in range(3))
+    rrows = tuple(ref_sorted[..., i][:, None, :] for i in range(3))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E, npq, nw),
+        in_specs=[pl.BlockSpec((tq, 1), lambda e, i, w, s: (e * npq + i, 0),
+                               memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((1, 1, td), lambda e, i, w, s: (e, 0, s[e, i] + w),
+                        memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec((1, tq, k), lambda e, i, w, s: (e, i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((tq, k), jnp.float32),
+                        pltpu.VMEM((tq, k), jnp.int32)],
+    )
+    idx, d2 = pl.pallas_call(
+        functools.partial(_kkernel, td=td, k=k),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((E, M, k), jnp.int32),
+                   jax.ShapeDtypeStruct((E, M, k), jnp.float32)],
+        interpret=interpret,
+    )(starts_td, *qcols, *rrows)
+    return idx, d2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "window", "tq", "td", "interpret"))
+def knn_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
+                     ref_valid: jnp.ndarray, k: int = 10,
+                     window: int = 4096, tq: int = 512, td: int = 2048,
+                     interpret: bool | None = None,
+                     query_valid: jnp.ndarray | None = None):
+    """Batched sorted-window k-NN, Pallas kernel — the tuned version of
+    ops.nn_window.knn_window (reference ``getNeighbours(i, 10)``,
+    src/internal/frame.cpp:208-242), for PCA normal neighbourhoods at
+    large-scene sizes.
+
+    query (E, M, 3), ref (E, N, 3), ref_valid (E, N) ->
+    (idx (E, M, k) int32 ascending by distance, d2 (E, M, k),
+    exact (E, M) bool a-posteriori certificates: True iff the k-th
+    found distance beats the sorted-axis gap to both window boundaries
+    — points outside the window differ at least that much along the
+    sort axis alone. Invalid queries certify True with junk rows (mask
+    downstream via ref_valid[idx], as recompute_normals does).
+    """
+    E, M = query.shape[:2]
+    N = ref.shape[1]
+    window = -(-window // td) * td
+    dtype = jnp.float32
+    query = query.astype(dtype)
+    ref = ref.astype(dtype)
+    big = jnp.asarray(1e30, dtype)
+
+    lo3 = jnp.min(jnp.where(ref_valid[..., None], ref, big), axis=1)
+    hi3 = jnp.max(jnp.where(ref_valid[..., None], ref, -big), axis=1)
+    axis = jnp.argmax(hi3 - lo3, axis=-1)                  # (E,)
+    rx = jnp.take_along_axis(ref, axis[:, None, None], axis=2)[..., 0]
+    rx = jnp.where(ref_valid, rx, big)
+    order_r = jnp.argsort(rx, axis=1)
+    rx_s = jnp.take_along_axis(rx, order_r, axis=1)
+    ref_s = jnp.take_along_axis(ref, order_r[..., None], axis=1)
+    ref_s = jnp.where((rx_s < 1e29)[..., None], ref_s, SENTINEL)
+
+    qx = jnp.take_along_axis(query, axis[:, None, None], axis=2)[..., 0]
+    if query_valid is not None:
+        qx = jnp.where(query_valid, qx, big)
+    order_q = jnp.argsort(qx, axis=1)
+    qx_s = jnp.take_along_axis(qx, order_q, axis=1)
+    q_s = jnp.take_along_axis(query, order_q[..., None], axis=1)
+    q_s = jnp.where((qx_s < 1e29)[..., None], q_s, 2.0 * SENTINEL)
+    qx_s = jnp.where(qx_s < 1e29, qx_s, big)
+
+    Mp = -(-M // tq) * tq
+    W = min(window, -(-N // td) * td)
+    Np = max(-(-N // td) * td, W)
+    q_pad = jnp.full((E, Mp, 3), 2.0 * SENTINEL, dtype).at[:, :M].set(q_s)
+    qx_pad = jnp.full((E, Mp), big, dtype).at[:, :M].set(qx_s)
+    ref_pad = jnp.full((E, Np, 3), SENTINEL, dtype).at[:, :N].set(ref_s)
+    rx_pad = jnp.full((E, Np), big, dtype).at[:, :N].set(rx_s)
+
+    # center each tile's window on its own sorted span (k-NN has no
+    # cutoff to bound the interval a priori; exactness is certified
+    # a posteriori instead)
+    tiles = qx_pad.reshape(E, Mp // tq, tq)
+    t_hi = jnp.max(jnp.where(tiles < 1e29, tiles, -big), axis=-1)
+    left = jax.vmap(jnp.searchsorted)(rx_pad, tiles[..., 0])
+    right = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right"))(rx_pad, t_hi)
+    span = jnp.maximum(right - left, 0)
+    start_el = jnp.clip(left - (W - span) // 2, 0, Np - W)
+    starts_td = (start_el // td).astype(jnp.int32)
+
+    idx_sorted, d2 = knn_window_sorted(q_pad, ref_pad, starts_td, k=k,
+                                       window=W, tq=tq, td=td,
+                                       interpret=interpret)
+    idx_sorted = idx_sorted[:, :M]
+    d2 = d2[:, :M]
+
+    # a-posteriori certificates (ops/nn_window.knn_window semantics)
+    start_act = jnp.repeat(starts_td * td, tq, axis=1)[:, :M]  # (E, M)
+    end_act = start_act + W
+    b_lo = jnp.take_along_axis(rx_pad, jnp.maximum(start_act - 1, 0),
+                               axis=1)
+    b_hi = jnp.take_along_axis(rx_pad, jnp.minimum(end_act, Np - 1),
+                               axis=1)
+    dk2 = d2[..., -1]
+    gap_lo = qx_s - b_lo
+    gap_hi = b_hi - qx_s
+    ex_lo = jnp.logical_or(
+        start_act == 0,
+        jnp.logical_and(gap_lo > 0, dk2 < gap_lo * gap_lo))
+    ex_hi = jnp.logical_or(
+        end_act >= N,
+        jnp.logical_and(gap_hi > 0, dk2 < gap_hi * gap_hi))
+    exact = jnp.logical_or(jnp.logical_and(ex_lo, ex_hi), qx_s >= 1e29)
+
+    # back to original indexing, unsort queries
+    safe = jnp.clip(idx_sorted, 0, N - 1)
+    idx = jnp.take_along_axis(order_r, safe.reshape(E, M * k),
+                              axis=1).reshape(E, M, k)
+    inv_q = jnp.argsort(order_q, axis=1)
+    return (jnp.take_along_axis(idx, inv_q[..., None], axis=1),
+            jnp.take_along_axis(d2, inv_q[..., None], axis=1),
+            jnp.take_along_axis(exact, inv_q, axis=1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("window", "tq", "td", "interpret"))
 def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,

@@ -121,10 +121,11 @@ def eigh3_smallest(cxx, cxy, cxz, cyy, cyz, czz):
     return vx, vy, vz, lam_min, trace
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "window"))
+@partial(jax.jit, static_argnames=("k", "chunk", "window", "use_pallas"))
 def recompute_normals(points: jnp.ndarray, valid: jnp.ndarray,
                       k: int = 10, chunk: int = 2048,
-                      window: int | None = None):
+                      window: int | None = None,
+                      use_pallas: bool | None = None):
     """Per-point PCA normals from k nearest neighbours within the cloud.
 
     Matches Frame::recomputeNormals (frame.cpp:244-255): the query point is
@@ -148,11 +149,24 @@ def recompute_normals(points: jnp.ndarray, valid: jnp.ndarray,
     N = points.shape[0]
     use_window = window is not None or N > WINDOW_THRESHOLD
     if use_window:
-        from . import nn_window
-
         W = window if window is not None else 8192
-        idx, _, _ = nn_window.knn_window(points, points, valid, k=k,
-                                         window=W, query_valid=valid)
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        if use_pallas:
+            # the tuned kernel (kernels/nn_window_pallas.knn_window_batch)
+            # — same sorted-window neighbourhoods, ~k*3 VPU passes per
+            # window tile instead of an XLA top_k sort per tile
+            from ..kernels import nn_window_pallas
+
+            idx, _, _ = nn_window_pallas.knn_window_batch(
+                points[None], points[None], valid[None], k=k, window=W,
+                query_valid=valid[None])
+            idx = idx[0]
+        else:
+            from . import nn_window
+
+            idx, _, _ = nn_window.knn_window(points, points, valid, k=k,
+                                             window=W, query_valid=valid)
     else:
         idx, _ = nn.knn(points, points, valid, k=k, chunk=chunk)
 

@@ -236,3 +236,56 @@ class TestEigh3:
         v = np.stack([vx, vy, vz], axis=1)
         np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0)
         np.testing.assert_allclose(np.asarray(lam), 1.0, atol=1e-6)
+
+
+class TestKnnWindowPallas:
+    """Round-4 kernel: sorted-window k-NN in Pallas (interpret mode on
+    CPU) — the tuned neighbourhood search for PCA normals at large-scene
+    sizes (reference getNeighbours(i, 10), frame.cpp:208-242)."""
+
+    def test_matches_brute_knn(self):
+        from mv_lm_icp_tpu.kernels import nn_window_pallas as kwp
+        from mv_lm_icp_tpu.ops import nn as nn_ops
+
+        key = jax.random.PRNGKey(0)
+        N = 700
+        pts = jax.random.normal(key, (N, 3), jnp.float32)
+        valid = jnp.arange(N) < 650
+        idx_b, d2_b = nn_ops.knn(pts, pts, valid, k=10, chunk=256)
+        idx_p, d2_p, ex_p = kwp.knn_window_batch(
+            pts[None], pts[None], valid[None], k=10, window=1024,
+            tq=128, td=128, query_valid=valid[None])
+        m = np.asarray(valid)
+        ex = np.asarray(ex_p[0])
+        assert ex[m].all()   # full-cloud window => every query certified
+        np.testing.assert_allclose(np.asarray(d2_p[0])[m],
+                                   np.asarray(d2_b)[m], atol=1e-5)
+
+    def test_certificate_fails_closed(self):
+        """A window far smaller than the cloud must refuse to certify
+        some queries rather than silently return wrong neighbours."""
+        from mv_lm_icp_tpu.kernels import nn_window_pallas as kwp
+
+        key = jax.random.PRNGKey(3)
+        N = 1024
+        pts = jax.random.normal(key, (N, 3), jnp.float32)
+        valid = jnp.ones(N, bool)
+        _, _, ex = kwp.knn_window_batch(
+            pts[None], pts[None], valid[None], k=10, window=128,
+            tq=128, td=128, query_valid=valid[None])
+        assert not np.asarray(ex[0]).all()
+
+    def test_recompute_normals_pallas_parity(self):
+        key = jax.random.PRNGKey(1)
+        N = 900
+        pts = jax.random.normal(key, (N, 3), jnp.float32)
+        valid = jnp.arange(N) < 850
+        nb, cb = pca.recompute_normals(pts, valid, k=10, chunk=256)
+        npx, cpx = pca.recompute_normals(pts, valid, k=10, window=1024,
+                                         use_pallas=True)
+        m = np.asarray(valid)
+        dot = np.abs(np.sum(np.asarray(npx)[m] * np.asarray(nb)[m],
+                            axis=1))
+        assert float(dot.min()) > 0.999
+        np.testing.assert_allclose(np.asarray(cpx)[m],
+                                   np.asarray(cb)[m], atol=1e-4)
