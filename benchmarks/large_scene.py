@@ -43,6 +43,11 @@ def main():
                          "regime")
     ap.add_argument("--sigma", type=float, default=0.0005)
     ap.add_argument("--sigmat", type=float, default=0.002)
+    ap.add_argument("--normals", action="store_true",
+                    help="measure PCA-normal preprocessing (k=10 "
+                         "neighbourhoods, frame.cpp:244-255) across all "
+                         "frames: XLA sorted-window knn vs the Pallas "
+                         "k-NN window kernel")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -68,20 +73,15 @@ def main():
     print(f"frames: {fs.num_frames} x {fs.num_points} padded "
           f"({total/1e6:.2f}M valid points)")
 
+    if args.normals:
+        return bench_normals(fs)
+
     window = args.window
     if window is None:
-        # auto-size from the data at the initial poses (+ td margin)
-        from mv_lm_icp_tpu.ops import nn_window, se3
-
+        # auto-size from the data at the initial poses (+ td margin),
+        # one vmapped program over all edges (pipeline.window_need)
         edges = frameset.knn_pose_graph(fs.poses, 2)
-        need = 0
-        for e in range(edges.shape[0]):
-            s, d = int(edges[e, 0]), int(edges[e, 1])
-            rel = se3.compose(se3.inverse(fs.poses[d]), fs.poses[s])
-            q = se3.apply(rel, fs.points[s])
-            need = max(need, int(nn_window.window_shortfall(
-                q, fs.points[d], fs.valid[d], 0.01,
-                query_valid=fs.valid[s])))
+        need = int(pipeline.window_need(fs, edges, 0.01))
         window = -(-(need + 2048) // 2048) * 2048
         print(f"auto window W = {window}")
 
@@ -144,6 +144,47 @@ def main():
     rmse1 = float(metrics.alignment_rmse(fs))
     print(f"{label}: {dt*1e3:.1f} ms/round  "
           f"RMSE {rmse0:.5f} -> {rmse1:.5f}")
+
+
+def bench_normals(fs):
+    """PCA-normal preprocessing at scale: per-frame k=10 neighbourhood
+    search + SoA Cardano eigh, XLA window backend vs the Pallas k-NN
+    window kernel (kernels/nn_window_pallas.knn_window_batch)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mv_lm_icp_tpu.ops import pca
+
+    F, N = fs.num_frames, fs.num_points
+
+    def run_all(use_pallas):
+        outs = []
+        for f in range(F):
+            n, _ = pca.recompute_normals(fs.points[f], fs.valid[f], k=10,
+                                         window=8192,
+                                         use_pallas=use_pallas)
+            outs.append(n)
+        return jax.block_until_ready(jnp.stack(outs))
+
+    for tag, flag in [("xla top_k window", False),
+                      ("pallas knn window", True)]:
+        out = run_all(flag)                      # compile
+        t0 = time.perf_counter()
+        out = run_all(flag)
+        dt = time.perf_counter() - t0
+        print(f"normals [{tag}]: {dt*1e3:.1f} ms for {F} x {N} "
+              f"({dt/F*1e3:.1f} ms/frame)")
+        if flag:
+            dots = jnp.abs(jnp.sum(out * ref_out, axis=-1))
+            m = np.asarray(fs.valid)
+            agree = float(jnp.mean(jnp.where(fs.valid, dots, 1.0) > 0.999))
+            print(f"  agreement with XLA path: {agree*100:.2f}% of "
+                  f"{int(m.sum())} valid points (|cos| > 0.999)")
+        else:
+            ref_out = out
 
 
 if __name__ == "__main__":

@@ -7,38 +7,44 @@ sits to the hardware ceiling that binds it (VERDICT r3 #3).
 Method: the ceilings are MEASURED on the same chip in the same session —
 no spec-sheet guessing across TPU variants:
 
-- ``vpu``   peak f32 elementwise FMA throughput: one fused XLA kernel
-            applying K=256 dependent FMAs per element to an 8M-element
-            array (HBM traffic amortized 256x, so compute-bound).
+- ``vpu``   peak f32 elementwise FMA throughput: a fused XLA kernel
+            applying K=128 dependent FMAs per element to a 4M-element
+            array (HBM traffic amortized 128x => compute-bound), chained
+            and sum-reduced (single-element fetches get slice-propagated
+            by XLA down to one lane — measured a 1e6 'TFLOP/s').
 - ``mxu``   peak matmul throughput at the framework's operating
             precision (f32 inputs, HIGHEST precision — the NN kernels'
-            exactness requirement forbids bf16 passes): 4096^3 matmul.
-            bf16 (fastest MXU path) measured alongside for reference.
-- ``hbm``   streaming bandwidth: sum-reduce of a 512 MB f32 array.
+            exactness requirement forbids bf16 passes): chained 4096^3
+            matmuls. bf16 measured alongside for reference.
+- ``hbm``   streaming bandwidth: chained sum(|big - i|) reduces of a
+            512 MB array (abs defeats the sum(big)+i*N hoist).
 
-Each kernel's achieved FLOP/s / bytes/s then lands on the measured
-roofline; the table in BENCHMARKS.md cites this script's JSON output.
+All timings use the chain-slope + scalar-fetch discipline of bench.py:
+on this rig ``block_until_ready`` can return before the device finishes
+(measured 2500 'TFLOP/s' for a 4096^3 f32 matmul), so only a result
+fetch is a completion barrier. Every section runs in its OWN subprocess
+with retries — the tunnel's result fetch intermittently hangs forever,
+and a per-section process bounds the blast radius.
 
 Kernel arithmetic (flop counts stated so the judge can re-derive):
 
 - brute 1-NN (kernels/nn_pallas._kernel): per (query, ref) pair
-  3 subs + 3 mults + 2 adds = 8 flops for d2, plus the running
-  min/argmin select amortized per TD-tile (~3 ops / TD per pair ->
-  negligible); we charge 8 * M * N. Pure VPU (no MXU: the 3-deep
-  contraction wastes 125/128 MXU lanes; design note in nn_pallas.py).
+  3 subs + 3 mults + 2 adds = 8 flops for d2; the running min/argmin
+  adds ~2-3 compare/select passes per element we do NOT charge
+  (conservative). Charged: 8 * M * N. Pure VPU by design (the 3-deep
+  contraction would waste 125/128 MXU lanes; note in nn_pallas.py).
 - windowed 1-NN (kernels/nn_window_pallas): same 8 flops over M * W
-  pairs (plus the one-off sort, excluded: amortized over the round's
-  edges), where W is the window; VPU-bound, HBM-light (one contiguous
-  W-row stream per query tile).
+  pairs. The per-call argsorts of query/ref (production: re-done every
+  round at moving poses) are included in the measured time, so the
+  quoted %VPU is the whole-backend efficiency, not the inner loop's.
 - Hessian assembly (solvers/multiview.make_multiview_system, p2pl se3):
-  per correspondence: residual+Jacobians ~= 110 flops (pose chains,
-  cross products, dot products — ops/residuals.py) + weighted einsums
-  g_h/g_k (2*2*6) + H_hh/H_hk/H_kk (3*2*36 + 36 for the w scaling)
-  ~= 350 flops total; we charge 350 * total_correspondences per
-  build_system evaluation. MXU-eligible (einsum batches) but small
-  contraction depth; lands between the VPU and MXU lines.
+  per correspondence ~110 flops residual+Jacobians (pose chains, cross/
+  dot products — ops/residuals.py) + einsums g_h/g_k (2*2*6) +
+  H_hh/H_hk/H_kk (3*2*36 + 36 for the w scaling) ~= 350 total.
+  Charged: 350 * E * C per build_system evaluation.
 
-Usage: python benchmarks/roofline.py [--quick]
+Usage: python benchmarks/roofline.py            # orchestrated, full
+       python benchmarks/roofline.py --section vpu   # one piece
 Prints one JSON line; human-readable table on stderr.
 """
 from __future__ import annotations
@@ -46,10 +52,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECTIONS = ["vpu", "mxu", "hbm", "nn", "wnn", "asm"]
 
 
 def log(msg):
@@ -58,10 +67,8 @@ def log(msg):
 
 def timed(f, reps=3):
     """min-of-reps wall seconds for f(). f MUST return a Python scalar
-    (a device->host fetch): on this rig `block_until_ready` can return
-    before the device finishes (the tunnel's async-completion quirk
-    measured 2500 'TFLOP/s' for a 4096^3 f32 matmul) — only a result
-    fetch is a reliable completion barrier."""
+    (a device->host fetch is the only reliable completion barrier on
+    this rig)."""
     f()  # warm
     ts = []
     for _ in range(reps):
@@ -73,35 +80,29 @@ def timed(f, reps=3):
 
 def chain(make, k1, k2, reps=3):
     """Per-iteration seconds via the two-point chain slope (cancels the
-    RPC/dispatch/fetch floor — same method as bench.py). make(k) must
-    return a thunk whose value is a Python scalar."""
+    RPC/dispatch/fetch floor — same method as bench.py)."""
     f1, f2 = make(k1), make(k2)
     t1 = timed(f1, reps)
     t2 = timed(f2, reps)
     return max((t2 - t1) / (k2 - k1), 1e-12)
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args(argv)
+# ---------------------------------------------------------------- sections
 
+
+def sec_vpu(args):
     import jax
     import jax.numpy as jnp
 
-    from bench import enable_compile_cache
-
-    enable_compile_cache()
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
-    out = {"device": str(dev)}
-
-    # ---- measured ceilings (all via chain slope + scalar fetch) -------
-    # VPU f32 FMA: K dependent FMAs per element per chain iteration
+    # 4M x 128 FMAs = 1.1 GFLOP per chain step (~0.15 ms at the expected
+    # ~8 TFLOP/s): small enough that XLA fuses the whole FMA chain into
+    # one pass (16M x 1024 measured 10x SLOWER per flop — the oversized
+    # fusion spilled between FMAs), long chains (2..256) so the total
+    # delta (~37 ms) dwarfs the tunnel's ms-level fetch jitter
     NE, K = 4 * 1024 * 1024, 128
     x0 = jnp.full((NE,), 0.5, jnp.float32)
 
-    def vpu_chain(k):
+    def make(k):
         @jax.jit
         def run():
             def body(i, x):
@@ -110,19 +111,17 @@ def main(argv=None):
                 for _ in range(K):
                     x = x * a + b
                 return x
-            # sum-reduce: fetching a single element would let XLA
-            # slice-propagate the elementwise chain down to ONE lane
-            # (measured: a 'ceiling' of 1e6 TFLOP/s)
             return jnp.sum(jax.lax.fori_loop(0, k, body, x0))
         return lambda: float(run())
 
-    t = chain(vpu_chain, 2, 8)
-    vpu_peak = NE * K * 2 / t
-    out["vpu_f32_flops"] = vpu_peak
-    log(f"VPU f32 FMA ceiling: {vpu_peak/1e12:.2f} TFLOP/s "
-        f"({NE*K*2/1e9:.1f} GFLOP per chain step)")
+    t = chain(make, 2, 256)
+    return {"vpu_f32_flops": NE * K * 2 / t}
 
-    # MXU matmul at both precisions: x <- x @ A chained (dependent)
+
+def sec_mxu(args):
+    import jax
+    import jax.numpy as jnp
+
     S = 2048 if args.quick else 4096
     key = jax.random.PRNGKey(1)
     A = jnp.eye(S, dtype=jnp.float32) \
@@ -143,38 +142,40 @@ def main(argv=None):
             return lambda: float(runk())
         return make
 
-    t = chain(mm_chain(jax.lax.Precision.HIGHEST, jnp.float32), 1, 5)
-    mxu_f32 = 2 * S**3 / t
-    out["mxu_f32_flops"] = mxu_f32
-    log(f"MXU f32 (HIGHEST) ceiling: {mxu_f32/1e12:.2f} TFLOP/s")
+    t32 = chain(mm_chain(jax.lax.Precision.HIGHEST, jnp.float32), 1, 5)
+    tb = chain(mm_chain(jax.lax.Precision.DEFAULT, jnp.bfloat16), 1, 5)
+    return {"mxu_f32_flops": 2 * S**3 / t32,
+            "mxu_bf16_flops": 2 * S**3 / tb}
 
-    t = chain(mm_chain(jax.lax.Precision.DEFAULT, jnp.bfloat16), 1, 5)
-    mxu_bf16 = 2 * S**3 / t
-    out["mxu_bf16_flops"] = mxu_bf16
-    log(f"MXU bf16 ceiling: {mxu_bf16/1e12:.2f} TFLOP/s")
 
-    # HBM streaming bandwidth: full-array reduce per chain iteration
-    NB = (64 if args.quick else 128) * 1024 * 1024  # f32 elements
-    big = jnp.ones((NB,), jnp.float32)
+def sec_hbm(args):
+    import jax
+    import jax.numpy as jnp
 
-    def hbm_chain(k):
+    NB = (64 if args.quick else 128) * 1024 * 1024
+    # random data: a splat constant (jnp.ones) lets XLA fold
+    # sum(|ones - i|) to NB * |1 - i| without touching memory
+    # (measured an 8.7 TB/s 'bandwidth')
+    big = jax.random.normal(jax.random.PRNGKey(7), (NB,), jnp.float32)
+
+    def make(k):
         @jax.jit
         def run():
             def body(i, acc):
-                # nonlinear in the loop index: sum(big + i) would be
-                # algebraically hoisted to sum(big) + i*N (measured: an
-                # 'infinite' bandwidth), abs() cannot
                 return acc + jnp.sum(jnp.abs(big - i.astype(jnp.float32)))
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return lambda: float(run())
 
-    t = chain(hbm_chain, 1, 5)
-    hbm_bw = NB * 4 / t
-    out["hbm_bytes_per_s"] = hbm_bw
-    log(f"HBM streaming ceiling: {hbm_bw/1e9:.0f} GB/s "
-        f"({NB*4/2**20:.0f} MiB per chain step)")
+    # 512 MB per step ~ 0.6 ms at the expected ~800 GB/s: 32 chain steps
+    # keep the delta far above fetch jitter
+    t = chain(make, 2, 34)
+    return {"hbm_bytes_per_s": NB * 4 / t}
 
-    # ---- kernel 1: brute-force 1-NN (Pallas, pure VPU) ----------------
+
+def sec_nn(args):
+    import jax
+    import jax.numpy as jnp
+
     from mv_lm_icp_tpu.kernels import nn_pallas
     from mv_lm_icp_tpu.utils import datasets
 
@@ -183,7 +184,7 @@ def main(argv=None):
     N = pts.shape[0]
     valid = jnp.ones((N,), bool)
 
-    def nn_chain(k):
+    def make(k):
         @jax.jit
         def run():
             def body(i, acc):
@@ -193,58 +194,50 @@ def main(argv=None):
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return lambda: float(run())
 
-    t_nn = chain(nn_chain, 2, 10)
-    nn_flops = 8.0 * N * N / t_nn
-    out["nn_brute"] = {
-        "M": N, "N": N, "seconds": t_nn, "flops_per_s": nn_flops,
-        "pct_vpu": 100 * nn_flops / vpu_peak,
-    }
-    log(f"brute NN {N}x{N}: {t_nn*1e3:.2f} ms = "
-        f"{nn_flops/1e12:.2f} TFLOP/s = {100*nn_flops/vpu_peak:.0f}% of "
-        f"the measured VPU ceiling (compute-bound: {N*3*4/2**10:.0f} KiB "
-        f"ref resident in VMEM, queries streamed once)")
+    t = chain(make, 2, 10)
+    return {"nn_brute": {"M": N, "N": N, "seconds": t,
+                         "flops": 8.0 * N * N}}
 
-    # ---- kernel 2: windowed 1-NN (Pallas scalar-prefetch) -------------
+
+def sec_wnn(args):
+    import jax
+    import jax.numpy as jnp
+
     from mv_lm_icp_tpu.kernels import nn_window_pallas
 
-    M2 = 65536
-    W = 4096
+    M, W = 65536, 4096
     key = jax.random.PRNGKey(0)
-    # sorted-ish synthetic large cloud: the window kernel's operating
-    # regime (large-scene config, 61k+ points per frame)
-    big_ref = jnp.sort(jax.random.uniform(key, (M2,), jnp.float32)
-                       )[:, None] * jnp.ones((1, 3))
-    big_ref = big_ref + 0.01 * jax.random.normal(key, (M2, 3))
-    bvalid = jnp.ones((M2,), bool)
+    ref = jnp.sort(jax.random.uniform(key, (M,), jnp.float32)
+                   )[:, None] * jnp.ones((1, 3))
+    ref = ref + 0.01 * jax.random.normal(key, (M, 3))
+    valid = jnp.ones((M,), bool)
 
-    def wnn_chain(k):
+    def make(k):
         @jax.jit
         def run():
             def body(i, acc):
-                q = big_ref + 1e-6 * i
+                q = ref + 1e-6 * i
                 idx, d2, unc = nn_window_pallas.nn_1_window_batch(
-                    q[None], big_ref[None], bvalid[None], 0.05, window=W)
+                    q[None], ref[None], valid[None], 0.05, window=W)
                 return acc + jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0)
                                      ) + idx[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return lambda: float(run())
 
-    t_wnn = chain(wnn_chain, 2, 10)
-    wnn_flops = 8.0 * M2 * W / t_wnn
-    wnn_bytes = (M2 * 3 * 4 * 2) / t_wnn   # stream queries + window rows
-    out["nn_window"] = {
-        "M": M2, "W": W, "seconds": t_wnn, "flops_per_s": wnn_flops,
-        "pct_vpu": 100 * wnn_flops / vpu_peak,
-        "bytes_per_s": wnn_bytes, "pct_hbm": 100 * wnn_bytes / hbm_bw,
-    }
-    log(f"windowed NN M={M2} W={W}: {t_wnn*1e3:.2f} ms = "
-        f"{wnn_flops/1e12:.2f} TFLOP/s = {100*wnn_flops/vpu_peak:.0f}% "
-        f"VPU / {100*wnn_bytes/hbm_bw:.0f}% HBM")
+    t = chain(make, 2, 10)
+    return {"nn_window": {"M": M, "W": W, "seconds": t,
+                          "flops": 8.0 * M * W,
+                          "bytes": M * 3 * 4 * 2}}
 
-    # ---- kernel 3: Hessian assembly (multiview build_system) ----------
+
+def sec_asm(args):
+    import jax
+    import jax.numpy as jnp
+
     from mv_lm_icp_tpu.models import correspond, frameset, pipeline
     from mv_lm_icp_tpu.ops import residuals as res_mod
     from mv_lm_icp_tpu.solvers import multiview as mv
+    from mv_lm_icp_tpu.utils import datasets
 
     raw = datasets.load_raw_frames(datasets.BUNNY_DIR, limit=40, step=2,
                                    sigma=0.02, sigmat=0.01, seed=0)
@@ -259,7 +252,7 @@ def main(argv=None):
     xs0 = jax.vmap(param.from_pose7)(fs.poses)
     E, C = corr.nn_idx.shape[0], corr.nn_idx.shape[1]
 
-    def asm_chain(k):
+    def make(k):
         @jax.jit
         def run():
             def body(i, acc):
@@ -268,21 +261,98 @@ def main(argv=None):
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return lambda: float(run())
 
-    t_asm = chain(asm_chain, 2, 10)
-    n_corr = E * C
-    asm_flops = 350.0 * n_corr / t_asm
+    t = chain(make, 2, 10)
+    n = E * C
     # bytes: per corr read p(12) + q(12) + n(12) gathered + idx(4) ~ 40 B
-    asm_bytes = 40.0 * n_corr / t_asm
-    out["hessian_assembly"] = {
-        "edges": int(E), "corr_per_edge": int(C), "seconds": t_asm,
-        "flops_per_s": asm_flops, "pct_vpu": 100 * asm_flops / vpu_peak,
-        "bytes_per_s": asm_bytes, "pct_hbm": 100 * asm_bytes / hbm_bw,
-    }
-    log(f"Hessian assembly E={E} C={C}: {t_asm*1e3:.2f} ms = "
-        f"{asm_flops/1e12:.2f} TFLOP/s = {100*asm_flops/vpu_peak:.0f}% "
-        f"VPU / {100*asm_bytes/hbm_bw:.0f}% HBM")
+    return {"hessian_assembly": {"edges": int(E), "corr_per_edge": int(C),
+                                 "seconds": t, "flops": 350.0 * n,
+                                 "bytes": 40.0 * n}}
 
+
+SECTION_FNS = {"vpu": sec_vpu, "mxu": sec_mxu, "hbm": sec_hbm,
+               "nn": sec_nn, "wnn": sec_wnn, "asm": sec_asm}
+
+
+def orchestrate(quick: bool):
+    """Run each section in its own subprocess with retries; merge,
+    derive roofline percentages, print the table + one JSON line."""
+    here = os.path.abspath(__file__)
+    out = {}
+    for sec in SECTIONS:
+        got = None
+        for attempt in range(3):
+            cmd = [sys.executable, here, "--section", sec]
+            if quick:
+                cmd.append("--quick")
+            try:
+                p = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=600)
+                line = (p.stdout.strip().splitlines() or [""])[-1]
+                if line.startswith("{"):
+                    got = json.loads(line)
+                    break
+                log(f"[{sec}] attempt {attempt + 1}: no JSON "
+                    f"(rc={p.returncode}); tail: "
+                    + "; ".join(p.stderr.strip().splitlines()[-2:]))
+            except subprocess.TimeoutExpired:
+                log(f"[{sec}] attempt {attempt + 1}: timeout 600s "
+                    "(flaky tunnel fetch) — retrying")
+        if got is None:
+            log(f"[{sec}] FAILED after retries; continuing")
+            continue
+        out.update(got)
+        log(f"[{sec}] ok")
+
+    vpu = out.get("vpu_f32_flops", float("inf"))
+    hbm = out.get("hbm_bytes_per_s", float("inf"))
+    log(f"VPU f32 FMA ceiling: {vpu/1e12:.2f} TFLOP/s")
+    if "mxu_f32_flops" in out:
+        log(f"MXU f32 (HIGHEST) ceiling: "
+            f"{out['mxu_f32_flops']/1e12:.2f} TFLOP/s; bf16: "
+            f"{out['mxu_bf16_flops']/1e12:.2f} TFLOP/s")
+    log(f"HBM streaming ceiling: {hbm/1e9:.0f} GB/s")
+    for key, label in [("nn_brute", "brute NN"),
+                       ("nn_window", "windowed NN"),
+                       ("hessian_assembly", "Hessian assembly")]:
+        if key not in out:
+            continue
+        d = out[key]
+        fps = d["flops"] / d["seconds"]
+        d["flops_per_s"] = fps
+        d["pct_vpu"] = 100 * fps / vpu
+        msg = (f"{label}: {d['seconds']*1e3:.2f} ms = {fps/1e12:.2f} "
+               f"TFLOP/s = {d['pct_vpu']:.0f}% of measured VPU ceiling")
+        if "bytes" in d:
+            bps = d["bytes"] / d["seconds"]
+            d["bytes_per_s"] = bps
+            d["pct_hbm"] = 100 * bps / hbm
+            msg += f" / {d['pct_hbm']:.0f}% HBM"
+        log(msg)
     print(json.dumps(out))
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--section", default=None, choices=SECTIONS,
+                    help="run ONE measurement and print its JSON piece "
+                         "(the default orchestrator runs every section "
+                         "in its own subprocess with retries — the "
+                         "rig's result fetch can hang a process "
+                         "forever)")
+    args = ap.parse_args(argv)
+
+    if args.section is None:
+        return orchestrate(args.quick)
+
+    import jax
+
+    from bench import enable_compile_cache
+
+    enable_compile_cache()
+    log(f"[{args.section}] device: {jax.devices()[0]}")
+    print(json.dumps(SECTION_FNS[args.section](args)))
     return 0
 
 

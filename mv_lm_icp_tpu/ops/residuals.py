@@ -182,6 +182,28 @@ def residuals_and_jacobians(param: Parameterization, metric: str,
 # Autodiff twins (Ceres-jet replacement; also the test oracle)
 # ---------------------------------------------------------------------------
 
+def p2pl_system_terms(r, Jh, Jk, w, rho, mask):
+    """One-pass normal-equation terms for the point-to-plane metric.
+
+    Stacks A = [J_h | J_k | r] (N, 13) and contracts M = A^T diag(w) A
+    ONCE, instead of five einsums each re-streaming the (N, 6) Jacobian
+    blocks from HBM — per LM iteration the Jacobians are read once, not
+    three times each (the Hessian assembly is HBM-bound, not FLOP-bound:
+    BENCHMARKS.md roofline). The summands are identical to the separate
+    einsums; only the pass structure changes.
+
+    Args: r (N,) p2pl residuals; Jh/Jk (N, 6); w (N,) IRLS weights with
+    the validity mask already applied; rho (N,) robust losses; mask (N,)
+    validity for the cost sum.
+    Returns (cost_e, g_h, g_k, H_hh, H_hk, H_kk).
+    """
+    a = jnp.concatenate([Jh, Jk, r[:, None]], axis=-1)    # (N, 13)
+    M = jnp.einsum("nj,n,nk->jk", a, w, a, precision=_HI)
+    cost_e = 0.5 * jnp.sum(rho * mask)
+    return (cost_e, M[:6, 12], M[6:12, 12],
+            M[:6, :6], M[:6, 6:12], M[6:12, 6:12])
+
+
 def residuals_and_jacobians_autodiff(param: Parameterization, metric: str,
                                      x_h, x_k, p, q, n=None):
     """(r, J_h, J_k) via forward-mode jacobians of boxplus at delta = 0."""

@@ -238,14 +238,8 @@ def _ring_icp_round(fs: frameset.FrameSet, mask: jnp.ndarray,
                     H_kk = jnp.einsum("nij,n,nik->jk", Jk, w, Jk,
                                       precision=_HI)
                 else:
-                    g_h = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
-                    g_k = jnp.einsum("nj,n->j", Jk, w * r, precision=_HI)
-                    H_hh = jnp.einsum("nj,n,nk->jk", Jh, w, Jh,
-                                      precision=_HI)
-                    H_hk = jnp.einsum("nj,n,nk->jk", Jh, w, Jk,
-                                      precision=_HI)
-                    H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk,
-                                      precision=_HI)
+                    return res_mod.p2pl_system_terms(r, Jh, Jk, w, rho,
+                                                     oks[e])
                 return cost_e, g_h, g_k, H_hh, H_hk, H_kk
 
             cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(

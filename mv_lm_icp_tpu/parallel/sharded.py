@@ -220,11 +220,8 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
                     H_kk = jnp.einsum("nij,n,nik->jk", Jk, w, Jk,
                                       precision=_HI)
                 else:
-                    g_h = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
-                    g_k = jnp.einsum("nj,n->j", Jk, w * r, precision=_HI)
-                    H_hh = jnp.einsum("nj,n,nk->jk", Jh, w, Jh, precision=_HI)
-                    H_hk = jnp.einsum("nj,n,nk->jk", Jh, w, Jk, precision=_HI)
-                    H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk, precision=_HI)
+                    return res_mod.p2pl_system_terms(
+                        r, Jh, Jk, w, rho, oks[e].astype(p.dtype))
                 return cost_e, g_h, g_k, H_hh, H_hk, H_kk
 
             # vmap (not lax.map): each device owns few edges, so batching

@@ -87,11 +87,8 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
                 H_hk = jnp.einsum("nij,n,nik->jk", Jh, w, Jk, precision=_HI)
                 H_kk = jnp.einsum("nij,n,nik->jk", Jk, w, Jk, precision=_HI)
             else:
-                g_h = jnp.einsum("nj,n->j", Jh, w * r, precision=_HI)
-                g_k = jnp.einsum("nj,n->j", Jk, w * r, precision=_HI)
-                H_hh = jnp.einsum("nj,n,nk->jk", Jh, w, Jh, precision=_HI)
-                H_hk = jnp.einsum("nj,n,nk->jk", Jh, w, Jk, precision=_HI)
-                H_kk = jnp.einsum("nj,n,nk->jk", Jk, w, Jk, precision=_HI)
+                return res_mod.p2pl_system_terms(r, Jh, Jk, w, rho,
+                                                 vmask[e])
             return cost_e, g_h, g_k, H_hh, H_hk, H_kk
 
         # vmap turns the per-edge einsums into single batched MXU ops;
