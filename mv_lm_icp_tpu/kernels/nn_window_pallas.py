@@ -162,11 +162,14 @@ def _kkernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
         loc_a = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
         d2 = jnp.where(col == loc_a, jnp.inf, d2)
         # insertion: regs > candidate shift right; the first such reg
-        # takes the candidate
+        # takes the candidate. The shifted mask lives in f32, not bool:
+        # Mosaic cannot concatenate i1 vregs on real TPUs ("Invalid
+        # vector register cast", bitcast_vreg 8x128xi1 -> i32).
         gt = bd > loc_d                                    # (TQ, k)
-        gt_prev = jnp.concatenate(
-            [jnp.zeros_like(gt[:, :1]), gt[:, :-1]], axis=1)
-        first = jnp.logical_and(gt, jnp.logical_not(gt_prev))
+        gt_f = gt.astype(jnp.float32)
+        gt_prev_f = jnp.concatenate(
+            [jnp.zeros_like(gt_f[:, :1]), gt_f[:, :-1]], axis=1)
+        first = jnp.logical_and(gt, gt_prev_f == 0.0)
         sh_d = jnp.concatenate([bd[:, :1], bd[:, :-1]], axis=1)
         sh_i = jnp.concatenate([bi[:, :1], bi[:, :-1]], axis=1)
         bd = jnp.where(gt, jnp.where(first, loc_d, sh_d), bd)
