@@ -155,16 +155,18 @@ def sec_hbm(args):
     NB = (64 if args.quick else 128) * 1024 * 1024
     # random data: a splat constant (jnp.ones) lets XLA fold
     # sum(|ones - i|) to NB * |1 - i| without touching memory
-    # (measured an 8.7 TB/s 'bandwidth')
+    # (measured an 8.7 TB/s 'bandwidth'). Passed as an ARGUMENT — a
+    # closure capture bakes the 512 MB array into the HLO, which the
+    # rig's remote_compile POST rejects (HTTP 413).
     big = jax.random.normal(jax.random.PRNGKey(7), (NB,), jnp.float32)
 
     def make(k):
         @jax.jit
-        def run():
+        def run(b):
             def body(i, acc):
-                return acc + jnp.sum(jnp.abs(big - i.astype(jnp.float32)))
+                return acc + jnp.sum(jnp.abs(b - i.astype(jnp.float32)))
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
-        return lambda: float(run())
+        return lambda: float(run(big))
 
     # 512 MB per step ~ 0.6 ms at the expected ~800 GB/s: 32 chain steps
     # keep the delta far above fetch jitter
