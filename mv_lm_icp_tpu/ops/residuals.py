@@ -134,6 +134,33 @@ def _assemble(param, rot_j, tra_j):
     return jnp.concatenate([rot_j, tra_j], axis=-1)
 
 
+def _se3_p2pl_fast(R_h, t_h, R_k, t_k, p, q, n):
+    """Closed-form se3 point-to-plane (r, J_h, J_k) without (N, 3, 3)
+    intermediates.
+
+    The general path materializes per-point hat matrices and chains them
+    through einsums; for the right-multiplicative se3 tangent and the
+    p2pl projection everything collapses to two small rotations and
+    three cross products (derivation from the general blocks:
+    J_h = [R_h^T n_g ; p x (R_h^T n_g)],
+    J_k = [-n ; n x (R_k^T d) - q x n] — the second rot term is the
+    rotated-normal derivative d . d(R_k n)/drot_k of the reference
+    functor, icp-ceres.h:109-141). Verified against the autodiff twins
+    by tests/test_residuals.py.
+    """
+    rp = p @ R_h.T
+    rq = q @ R_k.T
+    d = rp + t_h - rq - t_k
+    ng = n @ R_k.T
+    r = jnp.sum(d * ng, axis=-1)
+    u = ng @ R_h                              # = R_h^T n_g
+    w2 = d @ R_k                              # = R_k^T d
+    Jh = jnp.concatenate([u, jnp.cross(p, u)], axis=-1)
+    Jk = jnp.concatenate([-n, jnp.cross(n, w2) - jnp.cross(q, n)],
+                         axis=-1)
+    return r, Jh, Jk
+
+
 def residuals_and_jacobians(param: Parameterization, metric: str,
                             x_h, x_k, p, q, n=None):
     """Analytic (r, J_h, J_k) for one edge.
@@ -142,6 +169,8 @@ def residuals_and_jacobians(param: Parameterization, metric: str,
     """
     R_h, t_h, Jr_h = _pose_cache(param, x_h)
     R_k, t_k, Jr_k = _pose_cache(param, x_k)
+    if param.name == "se3" and metric == "point_to_plane":
+        return _se3_p2pl_fast(R_h, t_h, R_k, t_k, p, q, n)
     rp = p @ R_h.T                             # (N, 3) rotated src
     rq = q @ R_k.T                             # (N, 3) rotated dst
     gp = rp + t_h
