@@ -34,11 +34,23 @@ def enable_compile_cache():
     import jax
 
     # TPU-class backends only: XLA:CPU entries are machine-specific AOT
-    # results that SIGILL other hosts (see mv_lm_icp_tpu/__init__.py)
+    # results that SIGILL other hosts (see mv_lm_icp_tpu/__init__.py).
+    # With no platform configured at all, only proceed when a non-CPU
+    # backend is already initialized — never guess toward the hazard.
     p = (getattr(jax.config, "jax_platforms", None)
          or os.environ.get("JAX_PLATFORMS", "") or "")
-    if p.split(",")[0].strip().lower() == "cpu":
+    first = p.split(",")[0].strip().lower()
+    if first == "cpu":
         return
+    if not first:
+        try:
+            from jax._src import xla_bridge
+
+            if not (xla_bridge.backends_are_initialized()
+                    and jax.default_backend() != "cpu"):
+                return
+        except Exception:
+            return
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache")
     os.makedirs(d, exist_ok=True)
@@ -84,10 +96,13 @@ def _timed_fetch(f):
     return time.perf_counter() - t0
 
 
-def drift_check(spreads, prev_path="BENCH_r03.json"):
-    """Compare this run's per-metric slopes against the previous round's
-    recorded values; flag >2x drift loudly (VERDICT r3 #8 — the silent
-    0.014 -> 0.163 ms closed-form swing)."""
+def drift_check(spreads):
+    """Compare this run's per-metric slopes against the newest recorded
+    BENCH_r*.json; flag >2x drift loudly (VERDICT r3 #8 — the silent
+    0.014 -> 0.163 ms closed-form swing). During a driver round the
+    newest artifact is the PREVIOUS round's (the current round's file is
+    written after this run); on a manual re-run it may be this round's
+    own record, so the reference file is logged with every flag."""
     import os
     import re
 
@@ -253,26 +268,31 @@ def main():
         # attempts beat one long one (observed hang rate ~50% per run). The server-side compile cache is
         # warm after the first attempt even if its fetch hangs.
         line = ""
-        out = None
         for attempt in range(4):
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.join(here, "benchmarks",
                                                   "accuracy_f64.py")],
                     env=env, capture_output=True, text=True, timeout=200)
-                line = (out.stdout.strip().splitlines()[-1]
-                        if out.stdout else "")
-                if line:
-                    break
             except subprocess.TimeoutExpired:
                 log(f"f64 accuracy probe attempt {attempt + 1} timed out "
                     "(200s) — retrying (flaky tunnel fetch)")
+                continue
+            line = (out.stdout.strip().splitlines()[-1]
+                    if out.stdout else "")
+            if line:
+                break
+            # fast failure with empty stdout is NOT a timeout: surface
+            # the real reason per attempt instead of mislabeling it
+            tail = ("\n".join(out.stderr.strip().splitlines()[-4:])
+                    if out.stderr else "<empty>")
+            log(f"f64 accuracy probe attempt {attempt + 1} produced no "
+                f"output (rc={out.returncode}); stderr tail: {tail}")
         else:
-            raise subprocess.TimeoutExpired("accuracy_f64.py", 600)
-        if not line:
-            log("f64 accuracy probe skipped (no output); stderr tail: "
-                + "\n".join(out.stderr.strip().splitlines()[-4:]))
-        else:
+            raise RuntimeError(
+                "f64 accuracy probe failed after 4 attempts "
+                "(timeouts or empty output — see attempt logs above)")
+        if line:
             acc = json.loads(line)
             log(f"f64-refined accuracy ({acc['backend']}, "
                 f"{acc['n_points']} pts): "
@@ -283,11 +303,53 @@ def main():
             if not acc["diff_tra"] < 1e-10:
                 log(f"f64 accuracy REGRESSION: diff_tra "
                     f"{acc['diff_tra']:.3e} >= 1e-10 — investigate")
-    except subprocess.TimeoutExpired as e:
-        log(f"f64 accuracy probe skipped (timeout {e.timeout}s — cold "
-            "compile cache?); re-run benchmarks/accuracy_f64.py manually")
     except Exception as e:
         log(f"f64 accuracy probe skipped ({type(e).__name__}: {e})")
+
+    # secondary: multiview f64 accuracy (VERDICT r4 #6) — the fused f32
+    # Bunny alternation polished by 3 f64 Gauss-Newton steps of the joint
+    # system (api.refine_multiview), reported on the actual accuracy bar
+    # (alignment RMSE + joint-cost decrease). Subprocess for x64 startup.
+    try:
+        import os
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ, JAX_ENABLE_X64="1",
+                   PYTHONPATH=here + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        line = ""
+        for attempt in range(3):
+            try:
+                out = subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "benchmarks",
+                                  "accuracy_multiview_f64.py")],
+                    env=env, capture_output=True, text=True, timeout=300)
+            except subprocess.TimeoutExpired:
+                log(f"multiview f64 probe attempt {attempt + 1} timed "
+                    "out (300s) — retrying")
+                continue
+            line = (out.stdout.strip().splitlines()[-1]
+                    if out.stdout else "")
+            if line:
+                break
+            tail = ("\n".join(out.stderr.strip().splitlines()[-4:])
+                    if out.stderr else "<empty>")
+            log(f"multiview f64 probe attempt {attempt + 1} produced no "
+                f"output (rc={out.returncode}); stderr tail: {tail}")
+        if line:
+            acc = json.loads(line)
+            log(f"multiview f64 polish ({acc['backend']}, "
+                f"{acc['frames']} frames x {acc['points_per_frame']} "
+                f"pts): RMSE {acc['rmse_init']:.5f} -> "
+                f"{acc['rmse_f32']:.6f} (f32) -> {acc['rmse_f64']:.6f} "
+                f"(+3 GN f64 steps); joint cost "
+                f"{acc['cost_f32_at64']:.9g} -> {acc['cost_f64']:.9g}")
+        else:
+            log("multiview f64 probe skipped (no output after retries)")
+    except Exception as e:
+        log(f"multiview f64 probe skipped ({type(e).__name__}: {e})")
 
     log("spreads: " + json.dumps(spreads))
     drift_check(spreads)

@@ -180,7 +180,10 @@ def bench_normals(fs):
         if flag:
             dots = jnp.abs(jnp.sum(out * ref_out, axis=-1))
             m = np.asarray(fs.valid)
-            agree = float(jnp.mean(jnp.where(fs.valid, dots, 1.0) > 0.999))
+            # agreement over VALID points only: padded rows must not
+            # inflate the percentage (they trivially "agree")
+            agree = float(jnp.sum(jnp.where(fs.valid, dots > 0.999, False))
+                          / jnp.sum(fs.valid))
             print(f"  agreement with XLA path: {agree*100:.2f}% of "
                   f"{int(m.sum())} valid points (|cos| > 0.999)")
         else:

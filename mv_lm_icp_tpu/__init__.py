@@ -72,8 +72,26 @@ def _configured_platform() -> str:
     return (p or "").split(",")[0].strip().lower()
 
 
-if not _os.environ.get("MVICP_NO_COMPILE_CACHE") \
-        and _configured_platform() not in ("cpu",):
+def _cache_safe_platform() -> bool:
+    """True only when a non-CPU backend is POSITIVELY known. A host with
+    nothing configured that would auto-select the CPU backend must not
+    enable the shared committed cache (the SIGILL hazard above) — so
+    with no explicit platform, consult the already-initialized backend
+    if there is one, and otherwise stay off rather than guess."""
+    p = _configured_platform()
+    if p:
+        return p != "cpu"
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            return _jax.default_backend() != "cpu"
+    except Exception:
+        pass
+    return False
+
+
+if not _os.environ.get("MVICP_NO_COMPILE_CACHE") and _cache_safe_platform():
     _cache_dir = _os.environ.get(
         "MVICP_COMPILE_CACHE",
         _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),

@@ -268,7 +268,11 @@ def refine_multiview(fs, edges, cfg, iters: int = 3):
     for _ in range(iters):
         cost, g, H = system(xs)
         Hd = H + 1e-12 * jnp.diag(jnp.diagonal(H))
-        delta = jnp.linalg.solve(Hd, -g)
+        # Cholesky, not LU: the damped gauge-fixed system is SPD, and
+        # the TPU backend implements LuDecomposition only for f32 while
+        # the f64 polish is this function's whole point
+        L = jnp.linalg.cholesky(Hd)
+        delta = jax.scipy.linalg.cho_solve((L, True), -g)
         d = delta.reshape(fs64.num_frames, 6) * free[:, None]
         xs = jax.vmap(param.boxplus)(xs, d)
         costs.append(cost)

@@ -97,6 +97,22 @@ def build_parser():
                    help="Schur-eliminate an independent set of frames "
                         "before the dense solve (Ceres "
                         "use_explicit_schur_complement equivalent)")
+    p.add_argument("--pcg", type=int, default=0, metavar="ITERS",
+                   help="solve the LM steps with block-Jacobi "
+                        "preconditioned CG capped at ITERS iterations "
+                        "instead of the dense Cholesky; with --schur "
+                        "this is the reference's ITERATIVE_SCHUR + "
+                        "SCHUR_JACOBI configuration "
+                        "(icp-ceres.cpp:76-80; solvers/pcg.py)")
+    p.add_argument("--pcg-tol", type=float, default=1e-8,
+                   help="relative residual target for --pcg")
+    p.add_argument("--assembly", choices=["auto", "fused", "einsum"],
+                   default="auto",
+                   help="Hessian assembly path: 'fused' = the Pallas "
+                        "Gram-accumulation kernel "
+                        "(kernels/assemble_pallas.py), 'einsum' = the "
+                        "XLA contraction, 'auto' = fused on TPU for the "
+                        "eligible se3/f32 configurations")
     p.add_argument("--fused", action="store_true",
                    help="run the whole outer loop as one on-device "
                         "program (max throughput, no per-round logs)")
@@ -168,7 +184,8 @@ def main(argv=None):
         use_autodiff=args.sophusSE3_autodiff, use_pallas=args.pallas,
         use_grid=args.grid, use_window=args.window is not None,
         window=args.window or 8192, prune=args.prune,
-        fixed_src_edges=args.anchor_edges)
+        fixed_src_edges=args.anchor_edges, assembly=args.assembly,
+        pcg_iters=args.pcg, pcg_tol=args.pcg_tol)
 
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     print("graph adjacency matrix == block structure")
@@ -416,7 +433,9 @@ def _run(args, cfg, fs, edges, timer, start_round):
                 fs, edges, corr, param_name=cfg.param_name,
                 metric=cfg.metric, robust=cfg.robust,
                 use_autodiff=cfg.use_autodiff, config=cfg.lm,
-                schur_elim=cfg.schur_elim, loss=cfg.loss)
+                schur_elim=cfg.schur_elim, loss=cfg.loss,
+                assembly=cfg.assembly, pcg_iters=cfg.pcg_iters,
+                pcg_tol=cfg.pcg_tol)
             timer.toc(f"global {i}", block_on=fs.poses)
             rmse = metrics.alignment_rmse(fs)
             print(f"round: {i}  lm_iters: {int(stats.iterations)}  "

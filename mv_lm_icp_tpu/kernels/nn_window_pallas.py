@@ -29,12 +29,75 @@ from __future__ import annotations
 
 import functools
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .nn_pallas import SENTINEL
+from .nn_pallas import _I0, SENTINEL
+
+
+@flax.struct.dataclass
+class RefSort:
+    """Sorted-axis index of a batch of reference clouds — the windowed
+    backend's analogue of the reference's per-frame KD-tree, and like it
+    REUSABLE: destination clouds are pose-invariant in their local
+    frames, so the reference builds each frame's tree once, lazily, and
+    keeps it for all 20 rounds (``if(indexComputed) return``,
+    src/internal/frame.cpp:187-206). Build this once per run with
+    :func:`sort_ref_batch` (or per frame via models/frameset.sort_cache)
+    and pass it to the batch entry points; without it they re-argsort
+    every destination cloud on every call, which round 4's roofline
+    measured as the windowed path's dominant cost (~30 sort passes over
+    M per call, BENCHMARKS.md)."""
+    axis: jnp.ndarray      # (B,) int32 dominant sort axis per cloud
+    order: jnp.ndarray     # (B, N) int32 argsort along that axis
+    coord_s: jnp.ndarray   # (B, N) f32 sorted axis coords (invalid: 1e30)
+    points_s: jnp.ndarray  # (B, N, 3) f32 sorted, SENTINEL on invalid
+
+
+def sort_ref_batch(ref: jnp.ndarray, ref_valid: jnp.ndarray) -> RefSort:
+    """Sort each cloud along its dominant (largest-extent) axis."""
+    dtype = jnp.float32
+    ref = ref.astype(dtype)
+    big = jnp.asarray(1e30, dtype)
+    lo3 = jnp.min(jnp.where(ref_valid[..., None], ref, big), axis=1)
+    hi3 = jnp.max(jnp.where(ref_valid[..., None], ref, -big), axis=1)
+    axis = jnp.argmax(hi3 - lo3, axis=-1)                  # (B,)
+    rx = jnp.take_along_axis(ref, axis[:, None, None], axis=2)[..., 0]
+    rx = jnp.where(ref_valid, rx, big)
+    order_r = jnp.argsort(rx, axis=1)                      # (B, N)
+    rx_s = jnp.take_along_axis(rx, order_r, axis=1)
+    ref_s = jnp.take_along_axis(ref, order_r[..., None], axis=1)
+    ref_s = jnp.where((rx_s < 1e29)[..., None], ref_s, SENTINEL)
+    return RefSort(axis=axis, order=order_r, coord_s=rx_s, points_s=ref_s)
+
+
+def _sort_queries(query: jnp.ndarray, rs: RefSort, query_valid):
+    """Sort queries along the ref's axis. Invalid-query coord sentinel
+    must differ from the invalid-REF one, else a pad query sits at
+    distance 0 from a pad ref row and "matches" it."""
+    dtype = jnp.float32
+    query = query.astype(dtype)
+    big = jnp.asarray(1e30, dtype)
+    qx = jnp.take_along_axis(query, rs.axis[:, None, None], axis=2)[..., 0]
+    if query_valid is not None:
+        qx = jnp.where(query_valid, qx, big)
+    order_q = jnp.argsort(qx, axis=1)
+    qx_s = jnp.take_along_axis(qx, order_q, axis=1)
+    q_s = jnp.take_along_axis(query, order_q[..., None], axis=1)
+    q_s = jnp.where((qx_s < 1e29)[..., None], q_s, 2.0 * SENTINEL)
+    qx_s = jnp.where(qx_s < 1e29, qx_s, big)
+    return q_s, qx_s, order_q
+
+
+def _self_queries(rs: RefSort):
+    """Query set == reference set (the PCA-normal neighbourhood case):
+    reuse the ref sort instead of a second argsort."""
+    sent = rs.coord_s >= 1e29
+    q_s = jnp.where(sent[..., None], 2.0 * SENTINEL, rs.points_s)
+    return q_s, rs.coord_s, rs.order
 
 
 def _kernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
@@ -109,11 +172,14 @@ def nn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E, npq, nw),
-        in_specs=[pl.BlockSpec((tq, 1), lambda e, i, w, s: (e * npq + i, 0),
+        in_specs=[pl.BlockSpec((tq, 1),
+                               lambda e, i, w, s: (e * npq + i, _I0),
                                memory_space=pltpu.VMEM)] * 3
-        + [pl.BlockSpec((1, 1, td), lambda e, i, w, s: (e, 0, s[e, i] + w),
+        + [pl.BlockSpec((1, 1, td),
+                        lambda e, i, w, s: (e, _I0, s[e, i] + w),
                         memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec((1, 1, tq), lambda e, i, w, s: (e, 0, i),
+        out_specs=[pl.BlockSpec((1, 1, tq),
+                                lambda e, i, w, s: (e, _I0, i),
                                 memory_space=pltpu.VMEM)] * 2,
         scratch_shapes=[pltpu.VMEM((tq, 1), jnp.float32),
                         pltpu.VMEM((tq, 1), jnp.int32)],
@@ -207,11 +273,14 @@ def knn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E, npq, nw),
-        in_specs=[pl.BlockSpec((tq, 1), lambda e, i, w, s: (e * npq + i, 0),
+        in_specs=[pl.BlockSpec((tq, 1),
+                               lambda e, i, w, s: (e * npq + i, _I0),
                                memory_space=pltpu.VMEM)] * 3
-        + [pl.BlockSpec((1, 1, td), lambda e, i, w, s: (e, 0, s[e, i] + w),
+        + [pl.BlockSpec((1, 1, td),
+                        lambda e, i, w, s: (e, _I0, s[e, i] + w),
                         memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec((1, tq, k), lambda e, i, w, s: (e, i, 0),
+        out_specs=[pl.BlockSpec((1, tq, k),
+                                lambda e, i, w, s: (e, i, _I0),
                                 memory_space=pltpu.VMEM)] * 2,
         scratch_shapes=[pltpu.VMEM((tq, k), jnp.float32),
                         pltpu.VMEM((tq, k), jnp.int32)],
@@ -227,12 +296,15 @@ def knn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "window", "tq", "td", "interpret"))
+                   static_argnames=("k", "window", "tq", "td", "interpret",
+                                    "self_query"))
 def knn_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
                      ref_valid: jnp.ndarray, k: int = 10,
                      window: int = 4096, tq: int = 512, td: int = 2048,
                      interpret: bool | None = None,
-                     query_valid: jnp.ndarray | None = None):
+                     query_valid: jnp.ndarray | None = None,
+                     ref_sort: RefSort | None = None,
+                     self_query: bool = False):
     """Batched sorted-window k-NN, Pallas kernel — the tuned version of
     ops.nn_window.knn_window (reference ``getNeighbours(i, 10)``,
     src/internal/frame.cpp:208-242), for PCA normal neighbourhoods at
@@ -245,33 +317,26 @@ def knn_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
     — points outside the window differ at least that much along the
     sort axis alone. Invalid queries certify True with junk rows (mask
     downstream via ref_valid[idx], as recompute_normals does).
+
+    ``ref_sort``: precomputed :class:`RefSort` of (ref, ref_valid) —
+    the build-index-once amortization. ``self_query=True`` declares
+    query==ref AND query_valid==ref_valid (the PCA neighbourhood case),
+    reusing the ref sort instead of a second argsort.
     """
     E, M = query.shape[:2]
     N = ref.shape[1]
     window = -(-window // td) * td
     dtype = jnp.float32
-    query = query.astype(dtype)
-    ref = ref.astype(dtype)
     big = jnp.asarray(1e30, dtype)
 
-    lo3 = jnp.min(jnp.where(ref_valid[..., None], ref, big), axis=1)
-    hi3 = jnp.max(jnp.where(ref_valid[..., None], ref, -big), axis=1)
-    axis = jnp.argmax(hi3 - lo3, axis=-1)                  # (E,)
-    rx = jnp.take_along_axis(ref, axis[:, None, None], axis=2)[..., 0]
-    rx = jnp.where(ref_valid, rx, big)
-    order_r = jnp.argsort(rx, axis=1)
-    rx_s = jnp.take_along_axis(rx, order_r, axis=1)
-    ref_s = jnp.take_along_axis(ref, order_r[..., None], axis=1)
-    ref_s = jnp.where((rx_s < 1e29)[..., None], ref_s, SENTINEL)
-
-    qx = jnp.take_along_axis(query, axis[:, None, None], axis=2)[..., 0]
-    if query_valid is not None:
-        qx = jnp.where(query_valid, qx, big)
-    order_q = jnp.argsort(qx, axis=1)
-    qx_s = jnp.take_along_axis(qx, order_q, axis=1)
-    q_s = jnp.take_along_axis(query, order_q[..., None], axis=1)
-    q_s = jnp.where((qx_s < 1e29)[..., None], q_s, 2.0 * SENTINEL)
-    qx_s = jnp.where(qx_s < 1e29, qx_s, big)
+    if ref_sort is None:
+        ref_sort = sort_ref_batch(ref, ref_valid)
+    order_r, rx_s, ref_s = ref_sort.order, ref_sort.coord_s, \
+        ref_sort.points_s
+    if self_query:
+        q_s, qx_s, order_q = _self_queries(ref_sort)
+    else:
+        q_s, qx_s, order_q = _sort_queries(query, ref_sort, query_valid)
 
     Mp = -(-M // tq) * tq
     W = min(window, -(-N // td) * td)
@@ -333,7 +398,8 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
                       ref_valid: jnp.ndarray, cutoff,
                       window: int = 8192, tq: int = 512, td: int = 2048,
                       interpret: bool | None = None,
-                      query_valid: jnp.ndarray | None = None):
+                      query_valid: jnp.ndarray | None = None,
+                      ref_sort: RefSort | None = None):
     """Batched exact-within-cutoff 1-NN over all edges, windowed kernel.
 
     Same contract as ops.nn_window.nn_1_window, batched: query (E, M, 3),
@@ -346,6 +412,11 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
     moved to the sentinel BEFORE sorting so they can't widen a boundary
     tile's coverage interval (see ops.nn_window.nn_1_window).
 
+    ``ref_sort``: precomputed :class:`RefSort` of (ref, ref_valid) —
+    destination clouds are pose-invariant, so the pipeline builds this
+    once per run (frame.cpp:187-206's build-index-once amortization) and
+    only the query sort remains per call.
+
     Window starts are floored to td-row granularity, so the coverage
     guarantee is ``window - td`` rows per query tile: size ``window`` at
     least ``window_shortfall(...) + td`` (rounded up to a td multiple).
@@ -357,32 +428,13 @@ def nn_1_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
     window = -(-window // td) * td        # round up to kernel granularity
     dtype = jnp.float32
     cutoff = jnp.asarray(cutoff, dtype)
-    query = query.astype(dtype)
-    ref = ref.astype(dtype)
-
-    # dominant sort axis per edge (largest ref extent)
     big = jnp.asarray(1e30, dtype)
-    lo3 = jnp.min(jnp.where(ref_valid[..., None], ref, big), axis=1)
-    hi3 = jnp.max(jnp.where(ref_valid[..., None], ref, -big), axis=1)
-    axis = jnp.argmax(hi3 - lo3, axis=-1)                  # (E,)
-    rx = jnp.take_along_axis(ref, axis[:, None, None], axis=2)[..., 0]
-    rx = jnp.where(ref_valid, rx, big)
-    order_r = jnp.argsort(rx, axis=1)                      # (E, N)
-    rx_s = jnp.take_along_axis(rx, order_r, axis=1)
-    ref_s = jnp.take_along_axis(ref, order_r[..., None], axis=1)
-    ref_s = jnp.where((rx_s < 1e29)[..., None], ref_s, SENTINEL)
 
-    qx = jnp.take_along_axis(query, axis[:, None, None], axis=2)[..., 0]
-    if query_valid is not None:
-        qx = jnp.where(query_valid, qx, big)
-    order_q = jnp.argsort(qx, axis=1)
-    qx_s = jnp.take_along_axis(qx, order_q, axis=1)
-    q_s = jnp.take_along_axis(query, order_q[..., None], axis=1)
-    # invalid-query coord sentinel must differ from the invalid-REF
-    # sentinel, else a pad query sits at distance 0 from a pad ref row
-    # and "matches" it
-    q_s = jnp.where((qx_s < 1e29)[..., None], q_s, 2.0 * SENTINEL)
-    qx_s = jnp.where(qx_s < 1e29, qx_s, big)
+    if ref_sort is None:
+        ref_sort = sort_ref_batch(ref, ref_valid)
+    order_r, rx_s, ref_s = ref_sort.order, ref_sort.coord_s, \
+        ref_sort.points_s
+    q_s, qx_s, order_q = _sort_queries(query, ref_sort, query_valid)
 
     # pad shapes to kernel granularity
     Mp = -(-M // tq) * tq

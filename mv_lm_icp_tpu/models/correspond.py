@@ -52,7 +52,8 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
                          use_window: bool = False,
                          window: int = 8192,
                          prune: bool = False,
-                         fixed_src_edges: bool = False) -> Correspondences:
+                         fixed_src_edges: bool = False,
+                         ref_sort=None) -> Correspondences:
     """All-edges correspondence search (ApproachComponents::
     computeClosestPoints, main_multiview.cpp:119-127).
 
@@ -93,9 +94,18 @@ def find_correspondences(fs: FrameSet, edges: jnp.ndarray, cutoff: float,
         if use_window:
             from ..kernels import nn_window_pallas
 
+            # build-index-once (frame.cpp:187-206): ``ref_sort`` is the
+            # per-FRAME sorted cache (models/frameset.sort_cache),
+            # gathered per edge here; without it every call re-argsorts
+            # the pose-invariant destination clouds
+            rs_e = None
+            if ref_sort is not None:
+                rs_e = jax.tree_util.tree_map(lambda a: a[dst_idx],
+                                              ref_sort)
             idx, d2, unc = nn_window_pallas.nn_1_window_batch(
                 queries, fs.points[dst_idx], fs.valid[dst_idx], cutoff,
-                window=window, query_valid=fs.valid[src_idx])
+                window=window, query_valid=fs.valid[src_idx],
+                ref_sort=rs_e)
             idx = jnp.maximum(idx, 0)   # -1 rows carry d2=inf -> pruned
         else:
             from ..kernels import nn_pallas

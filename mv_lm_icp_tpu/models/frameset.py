@@ -94,6 +94,18 @@ def from_raw(raw, dtype=jnp.float32, fix_first: bool = True,
     return fs
 
 
+def sort_cache(fs: FrameSet):
+    """Per-frame sorted-axis index for the windowed NN backend — the
+    build-index-once amortization of the reference's lazy per-frame
+    KD-trees (``if(indexComputed) return``, frame.cpp:187-206): local
+    clouds are pose-invariant, so this is computed once per run and
+    reused by every round's correspondence search
+    (kernels/nn_window_pallas.RefSort)."""
+    from ..kernels import nn_window_pallas
+
+    return nn_window_pallas.sort_ref_batch(fs.points, fs.valid)
+
+
 def knn_pose_graph(poses: jnp.ndarray, k: int):
     """Directed kNN frame graph by pose-translation distance.
 

@@ -53,23 +53,42 @@ class ICPConfig:
     # gauge-fixed (the reference drops them, frame.cpp:93 — losing all
     # gauge anchoring through frame 0's viewpoint; see correspond.py)
     schur_elim: Optional[tuple] = None  # independent-set Schur elimination
+    assembly: str = "auto"             # Hessian assembly: "fused" Pallas
+    # kernel / "einsum" XLA path / "auto" (fused on TPU when eligible) —
+    # kernels/assemble_pallas.py
+    pcg_iters: int = 0                 # >0: block-Jacobi PCG linear solve
+    # (with schur_elim: ITERATIVE_SCHUR + SCHUR_JACOBI,
+    # icp-ceres.cpp:76-80 — solvers/pcg.py)
+    pcg_tol: float = 1e-8
     comm: str = "blocks"               # distributed exchange: "blocks"
     # (O(E) per-edge 6x6 blocks through psum/all_gather) or "dense"
     # (psum the O(F^2) system) — see parallel/assemble.py
     lm: lm_mod.LMConfig = lm_mod.LMConfig()
 
 
-def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig):
+def _window_cache(fs: frameset.FrameSet, cfg: ICPConfig):
+    """Per-frame RefSort for the Pallas windowed backend (None for the
+    other backends) — computed once per run, reused every round
+    (frame.cpp:187-206's build-index-once semantics)."""
+    if cfg.use_window and cfg.use_pallas:
+        return frameset.sort_cache(fs)
+    return None
+
+
+def icp_round(fs: frameset.FrameSet, edges: jnp.ndarray, cfg: ICPConfig,
+              ref_sort=None):
     """One (correspondence, solve) alternation. Returns (fs', corr, stats)."""
     corr = correspond.find_correspondences(
         fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
         use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
         grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window,
-        prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+        prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges,
+        ref_sort=ref_sort)
     fs, stats = mv_mod.solve_multiview(
         fs, edges, corr, param_name=cfg.param_name, metric=cfg.metric,
         robust=cfg.robust, use_autodiff=cfg.use_autodiff, config=cfg.lm,
-        schur_elim=cfg.schur_elim, loss=cfg.loss)
+        schur_elim=cfg.schur_elim, loss=cfg.loss, assembly=cfg.assembly,
+        pcg_iters=cfg.pcg_iters, pcg_tol=cfg.pcg_tol)
     return fs, corr, stats
 
 
@@ -93,9 +112,10 @@ def run_icp(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(),
     checkpointing, export). Returns (fs_final, history list).
     """
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    ref_sort = _window_cache(fs, cfg)
     history: List[dict] = []
     for i in range(cfg.rounds):
-        fs, corr, stats = icp_round(fs, edges, cfg)
+        fs, corr, stats = icp_round(fs, edges, cfg, ref_sort=ref_sort)
         uncovered = int(jnp.sum(corr.uncovered))
         if uncovered:
             # poses moved enough that W no longer covers some query tiles
@@ -168,10 +188,11 @@ def run_icp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig()):
     round and cfg.window must be raised; always 0 on other backends).
     """
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    ref_sort = _window_cache(fs, cfg)   # once, outside the round loop
 
     def body(i, carry):
         fs, costs, unc = carry
-        fs, corr, stats = icp_round(fs, edges, cfg)
+        fs, corr, stats = icp_round(fs, edges, cfg, ref_sort=ref_sort)
         return (fs, costs.at[i].set(stats.final_cost),
                 unc.at[i].set(jnp.sum(corr.uncovered).astype(jnp.int32)))
 
@@ -204,6 +225,7 @@ def run_gicp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(), *,
 
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     p2pl = cfg.metric == "point_to_plane"
+    ref_sort = _window_cache(fs, cfg)   # once, outside the round loop
 
     def body(i, carry):
         fs, chis, unc = carry
@@ -211,9 +233,10 @@ def run_gicp_fused(fs: frameset.FrameSet, cfg: ICPConfig = ICPConfig(), *,
             fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
             use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
             grid_k=cfg.grid_k, use_window=cfg.use_window, window=cfg.window,
-            prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+            prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges,
+            ref_sort=ref_sort)
         build_system, apply_delta = pg._posegraph_system(
-            fs, edges, corr, p2pl, e_precision)
+            fs, edges, corr, p2pl, e_precision, assembly=cfg.assembly)
         poses, hist, rounds = pg.chi2_outer_loop(
             fs.poses, build_system, apply_delta, outer_rounds=outer_rounds,
             inner_iterations=inner_iterations, stagnant_break=stagnant_break,

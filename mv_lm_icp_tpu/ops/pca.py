@@ -160,7 +160,7 @@ def recompute_normals(points: jnp.ndarray, valid: jnp.ndarray,
 
             idx, _, _ = nn_window_pallas.knn_window_batch(
                 points[None], points[None], valid[None], k=k, window=W,
-                query_valid=valid[None])
+                query_valid=valid[None], self_query=True)
             idx = idx[0]
         else:
             from . import nn_window

@@ -134,30 +134,33 @@ def _ring_icp_round(fs: frameset.FrameSet, mask: jnp.ndarray,
             nxt = jnp.concatenate([x[:0]] + nxt_blocks, axis=0)[:H]
             return jnp.concatenate([prv, x, nxt], axis=0)
 
+        # local per-frame sorted index for the windowed backend — built
+        # BEFORE the halo exchange (no ppermute dependency) so each
+        # frame is sorted once per round by its OWNER and the sorted
+        # arrays ride the same halo exchange as the clouds, instead of
+        # every offset's NN call re-sorting its whole dst stack
+        # (frame.cpp:187-206's build-index-once semantics, per round)
+        rs_loc = None
+        if cfg.use_window and cfg.use_pallas:
+            from ..kernels import nn_window_pallas
+
+            rs_loc = nn_window_pallas.sort_ref_batch(pts_loc, val_loc)
+
         pts_e, nor_e, val_e = ext(pts_loc), ext(nor_loc), ext(val_loc)
+        rs_e = (None if rs_loc is None
+                else jax.tree_util.tree_map(ext, rs_loc))
         f_loc = jnp.arange(floc)
 
-        # per-offset dst cloud stacks: static slices of the extended
-        # block — the whole offset's edges batch into ONE NN dispatch
-        # (any of the four backends, incl. both Pallas kernels — the
-        # HBM-limited regime this path exists for is exactly where they
-        # matter). Edges absent from the concrete graph are masked out
-        # per (frame, offset) via mask_loc.
-        def offset_corr(o: int, col: int):
-            sl = slice(H + o, H + o + floc)
-            d_pts, d_nor, d_val = pts_e[sl], nor_e[sl], val_e[sl]
-            dst_g = jnp.mod(base + f_loc + o, F)
-            src_g = base + f_loc
-            rel = jax.vmap(lambda s, d: se3.compose(
-                se3.inverse(poses[d]), poses[s]))(src_g, dst_g)
-            query = jax.vmap(se3.apply)(rel, pts_loc)      # (floc, N, 3)
-
+        def nn_chunk(query, d_pts, d_val, qval, rs):
+            """One batched NN dispatch over a chunk of edges (any of the
+            four backends). Returns (idx, d2, unc (C,))."""
+            C = query.shape[0]
             if cfg.use_window and cfg.use_pallas:
                 from ..kernels import nn_window_pallas
 
                 idx, d2, unc = nn_window_pallas.nn_1_window_batch(
                     query, d_pts, d_val, cfg.cutoff, window=cfg.window,
-                    query_valid=val_loc)
+                    query_valid=qval, ref_sort=rs)
                 idx = jnp.maximum(idx, 0)
                 d2 = d2.astype(query.dtype)
             elif cfg.use_window:
@@ -171,20 +174,88 @@ def _ring_icp_round(fs: frameset.FrameSet, mask: jnp.ndarray,
                     return jnp.maximum(i, 0), d, u
 
                 idx, d2, unc = jax.lax.map(
-                    one_window, (query, d_pts, d_val, val_loc))
+                    one_window, (query, d_pts, d_val, qval))
             elif cfg.use_pallas:
                 from ..kernels import nn_pallas
 
                 idx, d2 = nn_pallas.nn_1_batch(query, d_pts, d_val)
                 d2 = d2.astype(query.dtype)
-                unc = jnp.zeros(floc, jnp.int32)
+                unc = jnp.zeros(C, jnp.int32)
             else:
                 def one_brute(args):
                     q, dp, dv = args
                     return nn.nn_1(q, dp, dv, chunk=min(cfg.nn_chunk, N))
 
                 idx, d2 = jax.lax.map(one_brute, (query, d_pts, d_val))
-                unc = jnp.zeros(floc, jnp.int32)
+                unc = jnp.zeros(C, jnp.int32)
+            return idx, d2, unc
+
+        # Per-offset correspondences, split into a LOCAL chunk (dst
+        # frames on this shard — depends only on pts_loc, so XLA's
+        # latency-hiding scheduler can run it while the halo ppermutes
+        # are still in flight) and a HALO chunk (dst rows of the
+        # extended block). Every edge lies entirely in one chunk, so
+        # per-edge medians/masks are unaffected; parity with the
+        # single-dispatch formulation is bit-close (TestRingCommModes).
+        def offset_corr(o: int, col: int):
+            dst_g = jnp.mod(base + f_loc + o, F)
+            src_g = base + f_loc
+            rel = jax.vmap(lambda s, d: se3.compose(
+                se3.inverse(poses[d]), poses[s]))(src_g, dst_g)
+            query = jax.vmap(se3.apply)(rel, pts_loc)      # (floc, N, 3)
+
+            def rs_slice(tree, lo, hi):
+                if tree is None:
+                    return None
+                return jax.tree_util.tree_map(lambda a: a[lo:hi], tree)
+
+            parts = []   # (query_slice, d_pts, d_nor, d_val, ref_sort)
+            if o > 0:
+                split = max(floc - o, 0)
+                if split > 0:      # local: query i -> dst pts_loc[i + o]
+                    parts.append((slice(0, split),
+                                  pts_loc[o:o + split],
+                                  nor_loc[o:o + split],
+                                  val_loc[o:o + split],
+                                  rs_slice(rs_loc, o, o + split)))
+                if split < floc:   # halo: extended rows H + o + i
+                    r0 = H + o + split
+                    r1 = r0 + (floc - split)
+                    parts.append((slice(split, floc), pts_e[r0:r1],
+                                  nor_e[r0:r1], val_e[r0:r1],
+                                  rs_slice(rs_e, r0, r1)))
+            else:
+                o2 = -o
+                split = min(o2, floc)
+                if split > 0:      # halo: extended rows H + o + i
+                    r0 = H + o
+                    parts.append((slice(0, split), pts_e[r0:r0 + split],
+                                  nor_e[r0:r0 + split],
+                                  val_e[r0:r0 + split],
+                                  rs_slice(rs_e, r0, r0 + split)))
+                if split < floc:   # local: query i -> dst pts_loc[i - o2]
+                    parts.append((slice(split, floc),
+                                  pts_loc[:floc - split],
+                                  nor_loc[:floc - split],
+                                  val_loc[:floc - split],
+                                  rs_slice(rs_loc, 0, floc - split)))
+
+            idx_p, d2_p, unc_p, qe_p, ne_p = [], [], [], [], []
+            for qsl, dp, dn, dv, rs in parts:
+                i_c, d_c, u_c = nn_chunk(query[qsl], dp, dv,
+                                         val_loc[qsl], rs)
+                idx_p.append(i_c)
+                d2_p.append(d_c)
+                unc_p.append(u_c)
+                qe_p.append(jnp.take_along_axis(dp, i_c[..., None],
+                                                axis=1))
+                ne_p.append(jnp.take_along_axis(dn, i_c[..., None],
+                                                axis=1))
+            idx = jnp.concatenate(idx_p, axis=0)
+            d2 = jnp.concatenate(d2_p, axis=0)
+            unc = jnp.concatenate(unc_p, axis=0)
+            q_e = jnp.concatenate(qe_p, axis=0)
+            n_e = jnp.concatenate(ne_p, axis=0)
 
             included = mask_loc[:, col]                   # (floc,)
             dist = jnp.sqrt(d2)
@@ -197,8 +268,6 @@ def _ring_icp_round(fs: frameset.FrameSet, mask: jnp.ndarray,
                 ok = jnp.logical_and(ok, dist <= weight[:, None])
             # excluded edges never count window-coverage losses
             unc = jnp.sum(jnp.where(included, unc, 0))
-            q_e = jnp.take_along_axis(d_pts, idx[..., None], axis=1)
-            n_e = jnp.take_along_axis(d_nor, idx[..., None], axis=1)
             return (idx, ok.astype(pts_loc.dtype), weight, q_e, n_e,
                     src_g, dst_g, unc)
 

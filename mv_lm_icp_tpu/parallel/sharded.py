@@ -58,7 +58,7 @@ def pad_edges(edges: jnp.ndarray, multiple: int) -> jnp.ndarray:
 
 
 def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
-                            n_point: int):
+                            n_point: int, ref_sort=None):
     """Per-device correspondence stage shared by the LM and GICP rounds
     (runs inside shard_map): search this device's point slice of its edge
     slice with any of the four NN backends, robust scale from the
@@ -95,9 +95,15 @@ def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
     if cfg.use_window and cfg.use_pallas:
         from ..kernels import nn_window_pallas
 
+        # per-frame sorted cache (replicated) -> per-edge gather; the
+        # build-index-once amortization (frame.cpp:187-206)
+        rs_e = None
+        if ref_sort is not None:
+            rs_e = jax.tree_util.tree_map(lambda a: a[dst_idx], ref_sort)
         idxs, d2s, unc = nn_window_pallas.nn_1_window_batch(
             queries, fs_rep.points[dst_idx], fs_rep.valid[dst_idx],
-            cfg.cutoff, window=cfg.window, query_valid=src_valid)
+            cfg.cutoff, window=cfg.window, query_valid=src_valid,
+            ref_sort=rs_e)
         idxs = jnp.maximum(idxs, 0)   # -1 rows carry d2=inf -> pruned
         d2s = d2s.astype(queries.dtype)
     elif cfg.use_window:
@@ -150,7 +156,7 @@ def _device_correspondences(fs_rep, edges_loc, cfg: ICPConfig, N: int,
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
-                      cfg: ICPConfig, mesh):
+                      cfg: ICPConfig, mesh, ref_sort=None):
     """One distributed (correspondence, joint-solve) ICP round.
 
     FrameSet is replicated (frames are small relative to HBM; the sharded
@@ -177,12 +183,12 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
     loss_fn = (robust_mod.LOSSES[cfg.loss] if cfg.robust
                else robust_mod.trivial)
 
-    def device_fn(fs_rep, edges_loc):
+    def device_fn(fs_rep, edges_loc, rs_rep):
         """Runs per device: edges_loc is this device's edge slice; the
         point axis is sliced by this device's coordinate."""
         (idxs, dists, oks, weights, starts, nloc,
          uncovered) = _device_correspondences(fs_rep, edges_loc, cfg, N,
-                                              n_point)
+                                              n_point, ref_sort=rs_rep)
         # pad sentinel rows: oks is already all-False for them; clamp the
         # indices so the gathers/scatters below stay in range
         edges_loc = jnp.maximum(edges_loc, 0)
@@ -276,10 +282,10 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
 
     poses, uncovered = shard_map(
         device_fn, mesh=mesh,
-        in_specs=(P(), P(mesh_mod.EDGE_AXIS)),
+        in_specs=(P(), P(mesh_mod.EDGE_AXIS), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(fs, edges)
+    )(fs, edges, ref_sort)
     return fs.replace(poses=poses), uncovered
 
 
@@ -287,7 +293,7 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
                                    "e_precision", "outer_rounds",
                                    "inner_iterations", "stagnant_break"))
 def sharded_posegraph_round(fs: frameset.FrameSet, edges: jnp.ndarray,
-                            cfg: ICPConfig, mesh, *,
+                            cfg: ICPConfig, mesh, ref_sort=None, *,
                             point_to_plane: bool = True,
                             e_precision: float = 0.01,
                             outer_rounds: int = 100,
@@ -315,10 +321,10 @@ def sharded_posegraph_round(fs: frameset.FrameSet, edges: jnp.ndarray,
     free = (~fs.fixed).astype(fs.points.dtype)
     free6 = jnp.repeat(free, 6)
 
-    def device_fn(fs_rep, edges_loc):
+    def device_fn(fs_rep, edges_loc, rs_rep):
         (idxs, dists, oks, weights, starts, nloc,
          uncovered) = _device_correspondences(fs_rep, edges_loc, cfg, N,
-                                              n_point)
+                                              n_point, ref_sort=rs_rep)
         edges_loc = jnp.maximum(edges_loc, 0)   # pad sentinel clamp
         src_idx, dst_idx = edges_loc[:, 0], edges_loc[:, 1]
 
@@ -379,10 +385,10 @@ def sharded_posegraph_round(fs: frameset.FrameSet, edges: jnp.ndarray,
 
     poses, hist, rounds, uncovered = shard_map(
         device_fn, mesh=mesh,
-        in_specs=(P(), P(mesh_mod.EDGE_AXIS)),
+        in_specs=(P(), P(mesh_mod.EDGE_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(fs, edges)
+    )(fs, edges, ref_sort)
     return fs.replace(poses=poses), hist, rounds, uncovered
 
 
@@ -391,8 +397,12 @@ def run_icp_sharded(fs: frameset.FrameSet, cfg: ICPConfig, mesh,
     """Distributed outer ICP loop (host-driven)."""
     rounds = cfg.rounds if rounds is None else rounds
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
+    from ..models.pipeline import _window_cache
+
+    ref_sort = _window_cache(fs, cfg)    # build-index-once, every round
     for i in range(rounds):
-        fs, uncovered = sharded_icp_round(fs, edges, cfg, mesh)
+        fs, uncovered = sharded_icp_round(fs, edges, cfg, mesh,
+                                          ref_sort=ref_sort)
         if cfg.use_window and int(uncovered):
             import warnings
 

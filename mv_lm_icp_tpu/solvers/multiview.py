@@ -33,6 +33,7 @@ from ..models.correspond import Correspondences
 from ..models.frameset import FrameSet
 from ..ops import residuals as res_mod
 from ..ops import robust as robust_mod
+from ..ops.se3 import to_Rt as se3_to_Rt
 from . import lm as lm_mod
 
 _HI = jax.lax.Precision.HIGHEST
@@ -42,12 +43,18 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
                           edges: jnp.ndarray, corr: Correspondences,
                           robust: bool, use_autodiff: bool = False,
                           vectorize_edges: bool = True,
-                          loss: str = "soft_l1"):
+                          loss: str = "soft_l1", assembly: str = "auto"):
     """Returns build_system(xs[F, ambient]) -> (cost, g[6F], H[6F, 6F]).
 
     ``loss`` selects the robust loss family when ``robust`` is on:
     "soft_l1" (Ceres semantics, the reference default) or "soft_l1_norm"
-    (scale-normalized TRF semantics — see ops/robust.soft_l1_norm)."""
+    (scale-normalized TRF semantics — see ops/robust.soft_l1_norm).
+
+    ``assembly``: "einsum" (batched-einsum contraction of the stacked
+    system matrix), "fused" (the Pallas kernel that streams the inputs
+    once and accumulates the 13x13 Gram blocks in VMEM —
+    kernels/assemble_pallas.py), or "auto" (fused on TPU for the eligible
+    se3/f32/analytic configurations, einsum otherwise)."""
     F = fs.num_frames
     jac_fn = (res_mod.residuals_and_jacobians_autodiff if use_autodiff
               else res_mod.residuals_and_jacobians)
@@ -64,6 +71,38 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
         fs.normals[dst_idx], corr.nn_idx[..., None], axis=1)
     vmask = corr.valid.astype(fs.points.dtype)            # (E, N)
     scale = corr.weight[:, None]                          # (E, 1)
+
+    from ..kernels import assemble_pallas as ap
+
+    fused = ap.resolve_assembly(assembly, param.name, use_autodiff,
+                                fs.points.dtype)
+
+    def finish(xs_unused, cost_e, g_h, g_k, H_hh, H_hk, H_kk):
+        cost = jnp.sum(cost_e)
+        from ..parallel import assemble
+
+        G, H = assemble.assemble_dense(
+            F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
+        g = G.reshape(F * 6) * free6
+        Hm = H.reshape(F * 6, F * 6)
+        Hm = Hm * free6[:, None] * free6[None, :]
+        Hm = Hm + jnp.diag(1.0 - free6)
+        return cost, g, Hm
+
+    if fused:
+        packed = ap.pack_edges(p_e, q_e, n_e, vmask)
+        mode = ("lm_p2pl" if metric == "point_to_plane" else "lm_p2pt")
+        kloss = loss if robust else "trivial"
+
+        def build_system_fused(xs):
+            x7 = jax.vmap(param.to_pose7)(xs)
+            R, t = jax.vmap(se3_to_Rt)(x7)
+            scal = ap.pack_scalars(R[src_idx], t[src_idx],
+                                   R[dst_idx], t[dst_idx], corr.weight)
+            terms = ap.system_terms(packed, scal, mode=mode, loss=kloss)
+            return finish(xs, *terms)
+
+        return build_system_fused
 
     def build_system(xs):
         def edge_terms(e):
@@ -94,23 +133,10 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
         # vmap turns the per-edge einsums into single batched MXU ops;
         # lax.map is the low-memory fallback for very large edge counts
         if vectorize_edges:
-            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.vmap(edge_terms)(
-                jnp.arange(edges.shape[0]))
+            terms = jax.vmap(edge_terms)(jnp.arange(edges.shape[0]))
         else:
-            cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
-                edge_terms, jnp.arange(edges.shape[0]))
-
-        cost = jnp.sum(cost_e)
-        from ..parallel import assemble
-
-        G, H = assemble.assemble_dense(
-            F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
-
-        g = G.reshape(F * 6) * free6
-        Hm = H.reshape(F * 6, F * 6)
-        Hm = Hm * free6[:, None] * free6[None, :]
-        Hm = Hm + jnp.diag(1.0 - free6)
-        return cost, g, Hm
+            terms = jax.lax.map(edge_terms, jnp.arange(edges.shape[0]))
+        return finish(xs, *terms)
 
     return build_system
 
@@ -118,14 +144,17 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
 @partial(jax.jit, static_argnames=("param_name", "metric", "robust",
                                    "use_autodiff", "config",
                                    "vectorize_edges", "schur_elim",
-                                   "loss"))
+                                   "loss", "assembly", "pcg_iters",
+                                   "pcg_tol"))
 def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
                     *, param_name: str = "se3",
                     metric: str = "point_to_plane", robust: bool = True,
                     use_autodiff: bool = False,
                     config: lm_mod.LMConfig = lm_mod.LMConfig(),
                     vectorize_edges: bool = True,
-                    schur_elim: tuple = None, loss: str = "soft_l1"):
+                    schur_elim: tuple = None, loss: str = "soft_l1",
+                    assembly: str = "auto", pcg_iters: int = 0,
+                    pcg_tol: float = 1e-8):
     """One joint LM solve over all frame poses with fixed correspondences.
 
     The equivalent of one ceresOptimizer_* call in the outer ICP loop
@@ -137,14 +166,29 @@ def solve_multiview(fs: FrameSet, edges: jnp.ndarray, corr: Correspondences,
     the dense factorization (solvers/schur.py — the equivalent of Ceres'
     use_explicit_schur_complement, icp-ceres.cpp:77). Build it with
     ``schur.independent_set(edges, F, keep=fixed)``.
+
+    ``pcg_iters`` > 0 replaces the dense Cholesky with block-Jacobi
+    preconditioned CG (solvers/pcg.py); combined with ``schur_elim`` it
+    runs CG on the exactly-reduced system — the reference's
+    ITERATIVE_SCHUR + SCHUR_JACOBI configuration (icp-ceres.cpp:76-80).
     """
     param = res_mod.PARAMS[param_name]
     free = (~fs.fixed).astype(fs.points.dtype)
     x0 = jax.vmap(param.from_pose7)(fs.poses)
     system = make_multiview_system(param, metric, fs, edges, corr, robust,
-                                   use_autodiff, vectorize_edges, loss)
+                                   use_autodiff, vectorize_edges, loss,
+                                   assembly)
     linear_solve = None
-    if schur_elim is not None:
+    if pcg_iters > 0:
+        import numpy as np
+
+        from . import pcg as pcg_mod
+
+        elim = (np.asarray(schur_elim, bool)
+                if schur_elim is not None else None)
+        linear_solve = pcg_mod.make_pcg_solver(
+            tol=pcg_tol, maxiter=pcg_iters, elim=elim)
+    elif schur_elim is not None:
         import numpy as np
 
         from . import schur as schur_mod

@@ -84,8 +84,12 @@ def _gicp_terms(r, Jh, Jk, ng, e_prec, wmask, point_to_plane):
 
 def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
                       corr: Correspondences, point_to_plane: bool,
-                      e_precision: float, vectorize_edges: bool = True):
-    """(build_system, apply_delta) closures over the GICP edge set."""
+                      e_precision: float, vectorize_edges: bool = True,
+                      assembly: str = "auto"):
+    """(build_system, apply_delta) closures over the GICP edge set.
+
+    ``assembly`` selects the einsum contraction or the fused Pallas
+    Gram-accumulation kernel (kernels/assemble_pallas.py, gicp modes)."""
     F = fs.num_frames
     free = (~fs.fixed).astype(fs.points.dtype)
     free6 = jnp.repeat(free, 6)
@@ -96,6 +100,40 @@ def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
     n_e = jnp.take_along_axis(fs.normals[dst_idx], corr.nn_idx[..., None],
                               axis=1)
     vmask = corr.valid.astype(fs.points.dtype)
+
+    from ..kernels import assemble_pallas as ap
+
+    fused = ap.resolve_assembly(assembly, "se3", False, fs.points.dtype)
+
+    def finish(cost_e, g_h, g_k, H_hh, H_hk, H_kk):
+        cost = jnp.sum(cost_e)
+        from ..parallel import assemble
+
+        G, H = assemble.assemble_dense(
+            F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
+        g = G.reshape(F * 6) * free6
+        Hm = H.reshape(F * 6, F * 6)
+        Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+        return cost, g, Hm
+
+    def apply_delta(xs, delta):
+        d = delta.reshape(F, 6) * free[:, None]
+        return jax.vmap(SE3.boxplus)(xs, d)
+
+    if fused:
+        packed = ap.pack_edges(p_e, q_e, n_e, vmask)
+        mode = "gicp_p2pl" if point_to_plane else "gicp_p2pt"
+
+        def build_system_fused(xs):
+            R, t = jax.vmap(se3.to_Rt)(xs)
+            scal = ap.pack_scalars(R[src_idx], t[src_idx],
+                                   R[dst_idx], t[dst_idx],
+                                   eprec=e_precision)
+            terms = ap.system_terms(packed, scal, mode=mode,
+                                    loss="trivial")
+            return finish(*terms)
+
+        return build_system_fused, apply_delta
 
     def build_system(xs):
         def edge_terms(e):
@@ -115,19 +153,7 @@ def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
         else:
             cost_e, g_h, g_k, H_hh, H_hk, H_kk = jax.lax.map(
                 edge_terms, jnp.arange(edges.shape[0]))
-        cost = jnp.sum(cost_e)
-        from ..parallel import assemble
-
-        G, H = assemble.assemble_dense(
-            F, src_idx, dst_idx, g_h, g_k, H_hh, H_hk, H_kk)
-        g = G.reshape(F * 6) * free6
-        Hm = H.reshape(F * 6, F * 6)
-        Hm = Hm * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
-        return cost, g, Hm
-
-    def apply_delta(xs, delta):
-        d = delta.reshape(F, 6) * free[:, None]
-        return jax.vmap(SE3.boxplus)(xs, d)
+        return finish(cost_e, g_h, g_k, H_hh, H_hk, H_kk)
 
     return build_system, apply_delta
 
@@ -204,7 +230,8 @@ def chi2_outer_loop(poses, build_system, apply_delta, *,
     return poses, hist, rounds
 
 
-@partial(jax.jit, static_argnames=("point_to_plane", "config"))
+@partial(jax.jit, static_argnames=("point_to_plane", "config",
+                                   "assembly"))
 def solve_posegraph_once(fs: FrameSet, edges: jnp.ndarray,
                          corr: Correspondences, *,
                          point_to_plane: bool = True,
@@ -212,20 +239,21 @@ def solve_posegraph_once(fs: FrameSet, edges: jnp.ndarray,
                          config: lm_mod.LMConfig = lm_mod.LMConfig(
                              max_iterations=100,
                              max_consecutive_rejections=10),
-                         tr_state=None):
+                         tr_state=None, assembly: str = "auto"):
     """One inner LM solve of the pose graph (g2oOptimizer body,
     icp-g2o.cpp:176-259). ``tr_state`` continues a previous solve's trust
     region (g2o optimize() continuation — see chi2_outer_loop).
     Returns (FrameSet', chi2, LMStats)."""
     build_system, apply_delta = _posegraph_system(
-        fs, edges, corr, point_to_plane, e_precision)
+        fs, edges, corr, point_to_plane, e_precision, assembly=assembly)
     xs, stats = lm_mod.lm_solve(fs.poses, build_system, apply_delta, config,
                                 tr_state=tr_state)
     return fs.replace(poses=xs), 2.0 * stats.final_cost, stats
 
 
 @partial(jax.jit, static_argnames=("point_to_plane", "outer_rounds",
-                                   "inner_iterations", "stagnant_break"))
+                                   "inner_iterations", "stagnant_break",
+                                   "assembly"))
 def solve_posegraph_fused(fs: FrameSet, edges: jnp.ndarray,
                           corr: Correspondences, *,
                           point_to_plane: bool = True,
@@ -233,7 +261,8 @@ def solve_posegraph_fused(fs: FrameSet, edges: jnp.ndarray,
                           outer_rounds: int = 100,
                           inner_iterations: int = 100,
                           stagnant_break: int = 6,
-                          rel_improvement: float = 1e-6):
+                          rel_improvement: float = 1e-6,
+                          assembly: str = "auto"):
     """The whole chi2-monitored outer loop (icp-g2o.cpp:261-303) as ONE
     compiled program: a ``lax.while_loop`` over inner LM solves, tracking
     relative chi2 improvement and breaking after ``stagnant_break``
@@ -245,7 +274,7 @@ def solve_posegraph_fused(fs: FrameSet, edges: jnp.ndarray,
     break carry NaN, rounds_run int32).
     """
     build_system, apply_delta = _posegraph_system(
-        fs, edges, corr, point_to_plane, e_precision)
+        fs, edges, corr, point_to_plane, e_precision, assembly=assembly)
     poses, hist, rounds = chi2_outer_loop(
         fs.poses, build_system, apply_delta, outer_rounds=outer_rounds,
         inner_iterations=inner_iterations, stagnant_break=stagnant_break,

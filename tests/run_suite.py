@@ -78,15 +78,20 @@ def main(argv=None):
 
     total = time.time() - t0
     n_pass = sum(1 for rc, _, _ in results.values() if rc == 0)
-    counts = [0, 0, 0]  # passed, failed, skipped
+    counts = [0, 0, 0, 0]  # passed, failed, skipped, errors
     for _, summary, _ in results.values():
-        for n, kind in re.findall(r"(\d+) (passed|failed|skipped)",
+        # collection errors print "N error(s)" — count them too, else a
+        # file that errors during collection shows rc!=0 but adds 0 to
+        # the totals and the headline understates breakage
+        for n, kind in re.findall(r"(\d+) (passed|failed|skipped|error)",
                                   summary):
-            counts[("passed", "failed", "skipped").index(kind)] += int(n)
+            counts[("passed", "failed", "skipped",
+                    "error").index(kind)] += int(n)
     verdict = "GREEN" if n_pass == len(files) else "RED"
     lines = [
         f"suite: {verdict} — {n_pass}/{len(files)} files ok, "
         f"{counts[0]} passed / {counts[1]} failed / {counts[2]} skipped "
+        f"/ {counts[3]} errors "
         f"in {total:.0f}s (one subprocess per file, -j{jobs})",
     ] + [
         f"  {os.path.basename(f):28s} "
