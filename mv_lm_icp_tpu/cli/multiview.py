@@ -129,6 +129,13 @@ def build_parser():
                         "correspondence lines src->dst (the viewer's "
                         "per-edge correspondence display, "
                         "Visualize.cpp:412-481)")
+    p.add_argument("--turntable", default=None, metavar="GIF",
+                   help="after the run, write an animated-GIF turntable "
+                        "orbit of the final registration (the headless "
+                        "replacement for the viewer's interactive spin, "
+                        "Visualize.cpp:627-757); combine with "
+                        "--snapshot-edge to overlay that edge's "
+                        "correspondence lines")
     p.add_argument("--checkpoint", default=None,
                    help="npz path; saved every round, resumed if present")
     p.add_argument("--platform", default=None)
@@ -459,6 +466,22 @@ def _run(args, cfg, fs, edges, timer, start_round):
     print(f"final gauge-aligned RMSE: {metrics.gauge_aligned_rmse(fs):.6f}"
           " (registration quality net of the anchor's own pose error)")
     print(f"mean pose error: tra={dt:.6g} rot={dr:.6g} deg")
+    if getattr(args, "turntable", None):
+        from ..utils import viz
+
+        ce = args.snapshot_edge
+        if ce is not None and not 0 <= ce < edges.shape[0]:
+            ce = None
+        corr_final = None
+        if ce is not None:
+            corr_final = pipeline.correspond.find_correspondences(
+                fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
+                use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
+                use_window=cfg.use_window, window=cfg.window,
+                prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+        viz.render_turntable(fs, args.turntable, edges=edges,
+                             corr=corr_final, corr_edge=ce)
+        print(f"wrote turntable {args.turntable}")
     if args.export_ply:
         n = export.write_ply(args.export_ply, fs, include_gt=True)
         print(f"wrote {n} points to {args.export_ply}")

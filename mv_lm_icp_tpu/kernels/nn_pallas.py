@@ -63,22 +63,31 @@ def _kernel(qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref, idx_ref,
     """
     qx, qy, qz = qx_ref[...], qy_ref[...], qz_ref[...]
     tq = qx.shape[0]
-    nb = rx_ref.shape[1] // 128
+    n_tiles = rx_ref.shape[1] // td
+    nc = td // 128
 
-    def body(c, carry):
+    def body(t, carry):
         best_d, best_b = carry
-        sl = pl.ds(c * 128, 128)
-        dx = qx - rx_ref[:, sl]                     # (TQ, 128)
+        # ONE dynamic lane-slice per td-tile (a per-128-column dynamic
+        # slice measured 2x slower — Mosaic charges dynamic lane offsets
+        # every iteration); the 128-column merge below uses free static
+        # sub-slices of the materialized tile
+        sl = pl.ds(pl.multiple_of(t * td, td), td)
+        dx = qx - rx_ref[:, sl]                     # (TQ, td)
         dy = qy - ry_ref[:, sl]
         dz = qz - rz_ref[:, sl]
         d2 = dx * dx + dy * dy + dz * dz
-        keep = best_d <= d2                         # ties keep 1st block
-        return (jnp.where(keep, best_d, d2),
-                jnp.where(keep, best_b, c))
+        base = t * nc
+        for c in range(nc):
+            d2c = d2[:, c * 128:(c + 1) * 128]
+            keep = best_d <= d2c                    # ties keep 1st block
+            best_d = jnp.where(keep, best_d, d2c)
+            best_b = jnp.where(keep, best_b, base + c)
+        return best_d, best_b
 
     init = (jnp.full((tq, 128), jnp.inf, jnp.float32),
             jnp.zeros((tq, 128), jnp.int32))
-    best_d, best_b = jax.lax.fori_loop(0, nb, body, init)
+    best_d, best_b = jax.lax.fori_loop(0, n_tiles, body, init)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
     gidx = best_b * 128 + lane

@@ -354,6 +354,13 @@ def _ring_icp_round(fs: frameset.FrameSet, mask: jnp.ndarray,
         device_fn, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
         out_specs=(P(), P()),
+        # check_vma=False: the varying-manual-axes checker demands
+        # jax.lax.pcast on every scan/while carry initialized from a
+        # literal inside the mapped body (e.g. ops/nn.nn_1's running-min
+        # carry), but those carries live in shared library code that
+        # also runs OUTSIDE shard_map, where pcast is invalid. Numerical
+        # parity with the single-device path is asserted instead
+        # (tests/test_parallel.py, tests/test_ring.py).
         check_vma=False,
     )(fs.points, fs.normals, fs.valid, mask, fs.poses, fs.gt_poses,
       fs.fixed)

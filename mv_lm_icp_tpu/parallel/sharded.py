@@ -284,6 +284,13 @@ def sharded_icp_round(fs: frameset.FrameSet, edges: jnp.ndarray,
         device_fn, mesh=mesh,
         in_specs=(P(), P(mesh_mod.EDGE_AXIS), P()),
         out_specs=(P(), P()),
+        # check_vma=False: the varying-manual-axes checker demands
+        # jax.lax.pcast on every scan/while carry initialized from a
+        # literal inside the mapped body (e.g. ops/nn.nn_1's running-min
+        # carry), but those carries live in shared library code that
+        # also runs OUTSIDE shard_map, where pcast is invalid. Numerical
+        # parity with the single-device path is asserted instead
+        # (tests/test_parallel.py, tests/test_ring.py).
         check_vma=False,
     )(fs, edges, ref_sort)
     return fs.replace(poses=poses), uncovered
@@ -387,6 +394,13 @@ def sharded_posegraph_round(fs: frameset.FrameSet, edges: jnp.ndarray,
         device_fn, mesh=mesh,
         in_specs=(P(), P(mesh_mod.EDGE_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
+        # check_vma=False: the varying-manual-axes checker demands
+        # jax.lax.pcast on every scan/while carry initialized from a
+        # literal inside the mapped body (e.g. ops/nn.nn_1's running-min
+        # carry), but those carries live in shared library code that
+        # also runs OUTSIDE shard_map, where pcast is invalid. Numerical
+        # parity with the single-device path is asserted instead
+        # (tests/test_parallel.py, tests/test_ring.py).
         check_vma=False,
     )(fs, edges, ref_sort)
     return fs.replace(poses=poses), hist, rounds, uncovered

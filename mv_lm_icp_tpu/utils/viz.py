@@ -187,3 +187,37 @@ def snapshot_callback(out_dir: str, edges=None, **render_kwargs):
             **render_kwargs)
 
     return cb
+
+
+def render_turntable(fs, path: str, *, n_views: int = 36,
+                     seconds: float = 4.0, elev: float = -70.0,
+                     edges=None, weights=None, corr=None,
+                     corr_edge=None, show_gt: bool = True,
+                     show_normals: bool = False, **render_kwargs) -> str:
+    """Animated-GIF turntable of the registration state — the headless
+    stand-in for the viewer's interactive orbit (Visualize.cpp:627-757:
+    spin()/keyboard navigation around the scene). Renders ``n_views``
+    azimuth steps of the same draw set render_scene exposes (clouds,
+    red/green frusta, edges + weights, the selected edge's
+    correspondence lines, normals) and assembles them with PIL.
+
+    Returns ``path``. Everything is host-side; safe in TPU sessions.
+    """
+    import tempfile
+
+    from PIL import Image
+
+    frames = []
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(n_views):
+            p = os.path.join(td, f"v{i:03d}.png")
+            render_scene(fs, edges=edges, weights=weights, corr=corr,
+                         corr_edge=corr_edge, path=p, show_gt=show_gt,
+                         show_normals=show_normals, elev=elev,
+                         azim=-90.0 + 360.0 * i / n_views,
+                         **render_kwargs)
+            frames.append(Image.open(p).convert("P"))
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        frames[0].save(path, save_all=True, append_images=frames[1:],
+                       duration=int(seconds * 1000 / n_views), loop=0)
+    return path

@@ -66,6 +66,23 @@ class TestViz:
             title="test")
         assert (tmp_path / "scene.png").stat().st_size > 10_000
 
+    def test_render_turntable_gif(self, tmp_path):
+        """Animated-GIF orbit (the viewer's spin, Visualize.cpp:627-757):
+        a multi-frame GIF must land on disk."""
+        pytest.importorskip("matplotlib")
+        pytest.importorskip("PIL")
+        from mv_lm_icp_tpu.models import frameset
+        from mv_lm_icp_tpu.utils import viz
+
+        fs = synthetic_frameset(F=3, N=64)
+        edges = frameset.knn_pose_graph(fs.poses, 2)
+        path = viz.render_turntable(fs, str(tmp_path / "orbit.gif"),
+                                    n_views=4, edges=edges)
+        from PIL import Image
+
+        im = Image.open(path)
+        assert getattr(im, "n_frames", 1) == 4
+
     def test_render_correspondence_lines(self, tmp_path):
         """Selected-edge correspondence rendering (Visualize.cpp:412-481):
         the corr_edge layer must add strokes to the figure (file strictly
