@@ -74,6 +74,17 @@ def main():
             seed=2, replicate=rep)
         fs = frameset.from_raw(raw, dtype=jnp.float32, pad_multiple=2048,
                                recompute_normals=False)
+        # anchor BOTH chain ends: the line-tiled fixture has no loop
+        # closure, so a single gauge anchor lets boundary-bias drift
+        # accumulate along the F-long chain (odometry drift — a property
+        # of the fixture's topology, observed on every backend incl.
+        # single-device). Two anchors bound it and keep the scaling
+        # study about wall-clock + collectives, not chain statistics.
+        import numpy as _np
+
+        fixed = _np.zeros(fs.num_frames, bool)
+        fixed[0] = fixed[-1] = True
+        fs = fs.replace(fixed=jnp.asarray(fixed))
         N = fs.num_points
         total = int(np.sum(np.asarray(fs.valid)))
         edges = frameset.knn_pose_graph(fs.poses, 2)

@@ -42,12 +42,16 @@ _I0 = np.int32(0)
 
 
 def _kernel(qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref, idx_ref,
-            *, td: int):
+            d2_ref, *, td: int):
     """One query tile vs the whole reference cloud.
 
     q*_ref: (TQ, 1) query coordinate columns (sublane-major)
     r*_ref: (1, Np) ref coordinate rows (lane-major)
     idx_ref: (1, TQ) output argmin indices
+    d2_ref: (1, TQ) the winner's exact squared distance (the kernel's
+      direct squared differences ARE exact f32 — outputting them saves
+      the wrapper an E*M random neighbour gather per call; sentinel
+      winners carry ~1e18 and the wrapper maps them to +inf)
 
     Round-5 restructure (VERDICT r4 #2): the original body ran
     jnp.min + jnp.argmin per (TQ, TD) tile — the argmin's
@@ -101,6 +105,7 @@ def _kernel(qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref, idx_ref,
         best_d = jnp.where(keep, best_d, od)
         gidx = jnp.where(keep, gidx, oi)
     idx_ref[...] = gidx[:, 0:1].T
+    d2_ref[...] = best_d[:, 0:1].T
 
 
 def _prep(query, ref, ref_valid, tq, td):
@@ -120,13 +125,9 @@ def _prep(query, ref, ref_valid, tq, td):
     return qcols, rrows, Mp, Np
 
 
-def _exact_d2(query, ref, ref_valid, idx):
-    """Exact squared distance to the chosen neighbour, +inf if invalid."""
-    nbr = jnp.take_along_axis(ref, idx[..., None], axis=-2)
-    d2 = jnp.sum((query.astype(jnp.float32)
-                  - nbr.astype(jnp.float32)) ** 2, axis=-1)
-    ok = jnp.take_along_axis(ref_valid, idx, axis=-1)
-    return jnp.where(ok, d2, jnp.inf)
+# any real match is far below this; a sentinel-coordinate winner (no
+# valid ref at all) computes d2 ~ (1e9)^2 and maps to +inf
+_NO_MATCH_D2 = 1e17
 
 
 @functools.partial(jax.jit,
@@ -143,30 +144,32 @@ def nn_1(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
     M = query.shape[0]
     qcols, rrows, Mp, Np = _prep(query, ref, ref_valid, tq, td)
     grid = (Mp // tq,)
-    idx = pl.pallas_call(
+    idx, d2 = pl.pallas_call(
         functools.partial(_kernel, td=td),
         grid=grid,
         in_specs=[pl.BlockSpec((tq, 1), lambda i: (i, _I0),
                                memory_space=pltpu.VMEM)] * 3
         + [pl.BlockSpec((1, Np), lambda i: (_I0, _I0),
                         memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((1, tq), lambda i: (_I0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, Mp), jnp.int32),
+        out_specs=[pl.BlockSpec((1, tq), lambda i: (_I0, i),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, Mp), jnp.int32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32)],
         interpret=interpret,
     )(*qcols, *rrows)
     idx = idx[0, :M]
-    return idx, _exact_d2(query, ref, ref_valid, idx)
+    d2 = d2[0, :M]
+    return idx, jnp.where(d2 < _NO_MATCH_D2, d2, jnp.inf)
 
 
 def _batch_kernel(qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
-                  idx_ref, *, td: int):
+                  idx_ref, d2_ref, *, td: int):
     """Batched body: query tiles come in flat (E*Mp, 1) layout (2D blocks
     tile better than batch-of-1 3D blocks — measured ~4% faster), ref rows
     and outputs keep the per-edge leading axis."""
     _kernel(qx_ref, qy_ref, qz_ref,
             rx_ref.at[0], ry_ref.at[0], rz_ref.at[0],
-            idx_ref.at[0], td=td)
+            idx_ref.at[0], d2_ref.at[0], td=td)
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "td", "interpret"))
@@ -189,7 +192,7 @@ def nn_1_batch(query: jnp.ndarray, ref: jnp.ndarray,
     qflat = tuple(q.reshape(E * Mp, 1) for q in qcols)
     npq = Mp // tq
     grid = (E, npq)
-    idx = pl.pallas_call(
+    idx, d2 = pl.pallas_call(
         functools.partial(_batch_kernel, td=td),
         grid=grid,
         in_specs=[pl.BlockSpec((tq, 1),
@@ -197,10 +200,12 @@ def nn_1_batch(query: jnp.ndarray, ref: jnp.ndarray,
                                memory_space=pltpu.VMEM)] * 3
         + [pl.BlockSpec((1, 1, Np), lambda e, i: (e, _I0, _I0),
                         memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((1, 1, tq), lambda e, i: (e, _I0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, 1, Mp), jnp.int32),
+        out_specs=[pl.BlockSpec((1, 1, tq), lambda e, i: (e, _I0, i),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((E, 1, Mp), jnp.int32),
+                   jax.ShapeDtypeStruct((E, 1, Mp), jnp.float32)],
         interpret=interpret,
     )(*qflat, *rrows)
     idx = idx[:, 0, :M]
-    return idx, _exact_d2(query, ref, ref_valid, idx)
+    d2 = d2[:, 0, :M]
+    return idx, jnp.where(d2 < _NO_MATCH_D2, d2, jnp.inf)
