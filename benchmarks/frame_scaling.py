@@ -69,8 +69,13 @@ def main():
         # keeps the reference config's geometry (more frames = more
         # scene, constant per-frame load)
         rep = max(1, round(args.replicate * F / 8))
+        # rotation noise must stay inside ICP's capture range: sigma_rot
+        # displaces slab ENDS by sigma * halfextent, which must be well
+        # under the cutoff (BENCHMARKS 'rotation noise must scale down
+        # with scene size — a property of the problem, not the solver').
+        # 1e-4 rad on these ~28-unit slabs ~ 0.3 * cutoff at the ends.
         raw = datasets.make_scene_frames(
-            num_frames=F, overlap=0.5, sigma=0.0005, sigmat=0.002,
+            num_frames=F, overlap=0.5, sigma=1e-4, sigmat=0.002,
             seed=2, replicate=rep)
         fs = frameset.from_raw(raw, dtype=jnp.float32, pad_multiple=2048,
                                recompute_normals=False)

@@ -23,7 +23,7 @@ Layout
                  reference's gflags surface.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def register_pair(*args, **kwargs):

@@ -284,13 +284,20 @@ def _block_s(r: jnp.ndarray, metric: str) -> jnp.ndarray:
 
 def make_pairwise_system(param, metric: str, src, dst, nor=None,
                          weights=None, loss: str = "trivial",
-                         loss_scale=1.0, use_autodiff: bool = False):
+                         loss_scale=1.0, use_autodiff: bool = False,
+                         assembly: str = "auto"):
     """Returns build_system(x) for a pairwise problem.
 
     ``weights`` is a validity/weight mask over correspondences (padded rows
     -> 0). ``loss``/``loss_scale`` select the robust loss (Ceres semantics,
     see ops/robust.py). ``use_autodiff`` switches Jacobians to the
     forward-mode path (the reference's sophusSE3_autodiff flag).
+
+    ``assembly``: the fused Pallas Gram kernel
+    (kernels/assemble_pallas.py) evaluates the pairwise system as the
+    two-pose global system with the destination pinned at identity
+    (exactly the reference's pairwise-from-global functor relationship,
+    icp-ceres.h:320-552); "auto" selects it on TPU for se3/f32.
     """
     loss_fn = robust_mod.LOSSES[loss]
     jac_fn = (res_mod.residuals_and_jacobians_autodiff if use_autodiff
@@ -301,6 +308,32 @@ def make_pairwise_system(param, metric: str, src, dst, nor=None,
         if param.ambient_dim == 7:
             return x_fixed_template.at[3].set(1.0)
         return x_fixed_template
+
+    from ..kernels import assemble_pallas as ap
+
+    if ap.resolve_assembly(assembly, param.name, use_autodiff, src.dtype):
+        from ..ops.se3 import to_Rt as se3_to_Rt
+
+        N = src.shape[0]
+        mask = (jnp.ones(N, jnp.float32) if weights is None
+                else weights.astype(jnp.float32))
+        nor_k = (jnp.zeros_like(src) if nor is None else nor)
+        packed = ap.pack_edges(src[None], dst[None], nor_k[None],
+                               mask[None])
+        mode = ("lm_p2pl" if metric == "point_to_plane" else "lm_p2pt")
+        scale1 = jnp.broadcast_to(
+            jnp.asarray(loss_scale, jnp.float32), (1,))
+        Rk0 = jnp.eye(3, dtype=jnp.float32)[None]
+        tk0 = jnp.zeros((1, 3), jnp.float32)
+
+        def build_system_fused(x):
+            R, t = se3_to_Rt(param.to_pose7(x))
+            scal = ap.pack_scalars(R[None], t[None], Rk0, tk0, scale1)
+            cost_e, g_h, _, H_hh, _, _ = ap.system_terms(
+                packed, scal, mode=mode, loss=loss)
+            return cost_e[0], g_h[0], H_hh[0]
+
+        return build_system_fused
 
     def build_system(x):
         r, Jh, _ = jac_fn(param, metric, x, identity_pose(), src, dst, nor)
@@ -373,12 +406,12 @@ def refine_pairwise(pose7, src, dst, nor=None, *,
 
 
 @partial(jax.jit, static_argnames=("param_name", "metric", "loss",
-                                   "use_autodiff", "config"))
+                                   "use_autodiff", "config", "assembly"))
 def solve_pairwise(src, dst, nor=None, *, param_name: str = "se3",
                    metric: str = "point_to_point", weights=None,
                    loss: str = "trivial", loss_scale=1.0,
                    use_autodiff: bool = False, x0=None,
-                   config: LMConfig = LMConfig()):
+                   config: LMConfig = LMConfig(), assembly: str = "auto"):
     """Pairwise registration via LM, all parameterizations.
 
     Equivalent of ICP_Ceres::pointToPoint_* / pointToPlane_*
@@ -391,6 +424,6 @@ def solve_pairwise(src, dst, nor=None, *, param_name: str = "se3",
     else:
         x0 = param.from_pose7(x0)
     system = make_pairwise_system(param, metric, src, dst, nor, weights,
-                                  loss, loss_scale, use_autodiff)
+                                  loss, loss_scale, use_autodiff, assembly)
     x, stats = lm_solve(x0, system, param.boxplus, config)
     return param.to_pose7(x), stats

@@ -157,6 +157,31 @@ class TestEndToEnd:
                                    np.asarray(fs_e.poses),
                                    rtol=1e-4, atol=2e-5)
 
+    @pytest.mark.parametrize("metric",
+                             ["point_to_plane", "point_to_point"])
+    def test_solve_pairwise_parity(self, metric):
+        """Pairwise solves through the fused kernel (dst pinned at
+        identity) land on the einsum path's pose."""
+        from mv_lm_icp_tpu.solvers import lm as lm_mod
+
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32)
+                          * 0.3)
+        nor = rng.normal(size=(300, 3)).astype(np.float32)
+        nor = jnp.asarray(nor / np.linalg.norm(nor, axis=-1,
+                                               keepdims=True))
+        gt = se3.exp(jnp.asarray(rng.normal(size=6) * 0.1, jnp.float32))
+        dst = se3.apply(gt, pts)
+        nd = se3.rotate_only(gt, nor)
+        a, _ = lm_mod.solve_pairwise(pts, dst, nd, param_name="se3",
+                                     metric=metric, loss="soft_l1",
+                                     loss_scale=0.1, assembly="einsum")
+        b, _ = lm_mod.solve_pairwise(pts, dst, nd, param_name="se3",
+                                     metric=metric, loss="soft_l1",
+                                     loss_scale=0.1, assembly="fused")
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
+
     def test_posegraph_parity(self):
         from mv_lm_icp_tpu.models import correspond, frameset
 
