@@ -211,6 +211,7 @@ def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None,
 
     history = []
     p2pl = metric == "point_to_plane"
+    ref_sort = pipeline._window_cache(fs, cfg)   # built once, reused
     for i in range(cfg.rounds):
         if sharded and mesh is not None:
             from .parallel import sharded as sharded_mod
@@ -227,7 +228,7 @@ def _multiview_gicp(fs, edges, cfg, metric, *, sharded=False, mesh=None,
                 use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
                 grid_k=cfg.grid_k, use_window=cfg.use_window,
                 window=cfg.window, prune=cfg.prune,
-                fixed_src_edges=cfg.fixed_src_edges)
+                fixed_src_edges=cfg.fixed_src_edges, ref_sort=ref_sort)
             fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
                 fs, edges, corr, point_to_plane=p2pl)
             history.append({"chi2": float(chi2_hist[int(g2o_rounds) - 1]),

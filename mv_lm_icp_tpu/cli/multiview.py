@@ -302,6 +302,7 @@ def _run(args, cfg, fs, edges, timer, start_round):
         elif args.sharded:
             print("note: --sharded requested but only one device is "
                   "visible; running the pose-graph solver unsharded")
+        g2o_ref_sort = pipeline._window_cache(fs, cfg)
         fused_g2o = args.fused and not sharded_g2o and start_round == 0
         if fused_g2o:
             # the whole alternation in one compiled program (the
@@ -341,7 +342,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
                     use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
                     grid_k=cfg.grid_k, use_window=cfg.use_window,
                     window=cfg.window, prune=cfg.prune,
-                    fixed_src_edges=cfg.fixed_src_edges)
+                    fixed_src_edges=cfg.fixed_src_edges,
+                    ref_sort=g2o_ref_sort)
                 if cfg.use_window and int(jnp.sum(corr.uncovered)):
                     print(f"round {i}: {int(jnp.sum(corr.uncovered))} "
                           f"queries lost window coverage; re-sizing W")
@@ -352,7 +354,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
                         use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
                         grid_k=cfg.grid_k, use_window=cfg.use_window,
                         window=cfg.window, prune=cfg.prune,
-                        fixed_src_edges=cfg.fixed_src_edges)
+                        fixed_src_edges=cfg.fixed_src_edges,
+                        ref_sort=g2o_ref_sort)
                 timer.toc(f"closest pts {i}", block_on=corr.dist)
                 timer.tic()
                 fs, chi2_hist, g2o_rounds = posegraph.solve_posegraph_fused(
@@ -413,13 +416,15 @@ def _run(args, cfg, fs, edges, timer, start_round):
                                 rng_key=[args.seed],
                                 extra={"window": cfg.window})
     else:
+        ref_sort = pipeline._window_cache(fs, cfg)   # built once, reused
         for i in range(start_round, args.rounds):
             timer.tic()
             corr = pipeline.correspond.find_correspondences(
                 fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
                 use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
                 use_window=cfg.use_window, window=cfg.window,
-                prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+                prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges,
+                ref_sort=ref_sort)
             if cfg.use_window and int(jnp.sum(corr.uncovered)):
                 # poses drifted past W's coverage: recover loudly —
                 # re-size W at the CURRENT poses and redo the search
@@ -431,7 +436,8 @@ def _run(args, cfg, fs, edges, timer, start_round):
                     fs, edges, cfg.cutoff, chunk=cfg.nn_chunk,
                     use_pallas=cfg.use_pallas, use_grid=cfg.use_grid,
                     use_window=cfg.use_window, window=cfg.window,
-                    prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges)
+                    prune=cfg.prune, fixed_src_edges=cfg.fixed_src_edges,
+                    ref_sort=ref_sort)
             timer.toc(f"closest pts {i}", block_on=corr.dist)
             timer.tic()
             from ..solvers import multiview as mv
