@@ -95,7 +95,8 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
                        fused: bool = False,
                        sharded: bool = False, mesh=None,
                        refine: int = 0,
-                       max_iterations: int = 50):
+                       max_iterations: int = 50,
+                       assembly: str = "auto", pcg: int = 0):
     """Joint multiview registration (the reference's multiview app as a
     function). ``clouds`` is a list of (Ni, 3) arrays or a FrameSet.
 
@@ -116,7 +117,12 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
     - ``refine``: polish the final poses with that many f64 Gauss-Newton
       steps of the JOINT problem (needs jax_enable_x64);
     - ``loss``: "soft_l1" (Ceres semantics) or "soft_l1_norm"
-      (scale-normalized TRF semantics; ops/robust.py).
+      (scale-normalized TRF semantics; ops/robust.py);
+    - ``assembly``: Hessian assembly path — "fused" Pallas Gram kernel /
+      "einsum" / "auto" (kernels/assemble_pallas.py);
+    - ``pcg``: > 0 solves LM steps with block-Jacobi preconditioned CG
+      capped at that many iterations (with ``schur``: the reference's
+      ITERATIVE_SCHUR + SCHUR_JACOBI, icp-ceres.cpp:76-80).
 
     Returns (FrameSet with refined poses, history list). Each history
     entry includes the per-round ``uncovered`` window-coverage counter
@@ -163,6 +169,7 @@ def register_multiview(clouds: Union[Sequence, "object"], *,
         use_pallas=use_pallas, prune=prune,
         fixed_src_edges=fixed_src_edges,
         use_window=window is not None, window=window or 8192,
+        assembly=assembly, pcg_iters=pcg,
         lm=lm_mod.LMConfig(max_iterations=max_iterations))
     edges = frameset.knn_pose_graph(fs.poses, cfg.knn)
     if schur:
