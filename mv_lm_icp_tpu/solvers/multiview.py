@@ -62,13 +62,17 @@ def make_multiview_system(param, metric: str, fs: FrameSet,
     free = (~fs.fixed).astype(fs.points.dtype)            # [F]
     free6 = jnp.repeat(free, 6)                           # [6F]
 
-    # Per-edge gathered constants (E, N, 3); gathers happen once at trace.
+    # Per-edge gathered constants (E, N, 3); gathers happen once at
+    # trace. Points and normals gather as ONE 6-wide row fetch: TPU
+    # gather cost is per row, so one (N, 6) gather beats two (N, 3)s
+    # (measured in the fused-round budget, BENCHMARKS round 5).
     src_idx, dst_idx = edges[:, 0], edges[:, 1]
     p_e = fs.points[src_idx]                              # (E, N, 3)
-    q_e = jnp.take_along_axis(
-        fs.points[dst_idx], corr.nn_idx[..., None], axis=1)
-    n_e = jnp.take_along_axis(
-        fs.normals[dst_idx], corr.nn_idx[..., None], axis=1)
+    pn = jnp.concatenate([fs.points, fs.normals], axis=-1)   # (F, N, 6)
+    qn_e = jnp.take_along_axis(
+        pn[dst_idx], corr.nn_idx[..., None], axis=1)      # (E, N, 6)
+    q_e = qn_e[..., :3]
+    n_e = qn_e[..., 3:]
     vmask = corr.valid.astype(fs.points.dtype)            # (E, N)
     scale = corr.weight[:, None]                          # (E, 1)
 

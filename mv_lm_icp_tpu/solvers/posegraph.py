@@ -95,10 +95,12 @@ def _posegraph_system(fs: FrameSet, edges: jnp.ndarray,
     free6 = jnp.repeat(free, 6)
     src_idx, dst_idx = edges[:, 0], edges[:, 1]
     p_e = fs.points[src_idx]
-    q_e = jnp.take_along_axis(fs.points[dst_idx], corr.nn_idx[..., None],
-                              axis=1)
-    n_e = jnp.take_along_axis(fs.normals[dst_idx], corr.nn_idx[..., None],
-                              axis=1)
+    # one 6-wide gather for points+normals (see multiview.py)
+    pn = jnp.concatenate([fs.points, fs.normals], axis=-1)
+    qn_e = jnp.take_along_axis(pn[dst_idx], corr.nn_idx[..., None],
+                               axis=1)
+    q_e = qn_e[..., :3]
+    n_e = qn_e[..., 3:]
     vmask = corr.valid.astype(fs.points.dtype)
 
     from ..kernels import assemble_pallas as ap
