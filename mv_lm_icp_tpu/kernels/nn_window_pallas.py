@@ -108,11 +108,17 @@ def _kernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
     r*_ref: (1, 1, td) the current window block of sorted-ref rows
     idx_ref: (1, 1, TQ) output argmin (element index into sorted ref)
     d2_ref: (1, 1, TQ) output exact squared distance of the winner
-    best_d/best_i: (TQ, 1) VMEM scratch carried across window tiles
+    best_d/best_i: (TQ, 128) VMEM scratch carried across window tiles —
+      per-LANE-CLASS running (min d2, 128-row block index), the same
+      fused-merge structure as the brute kernel (kernels/nn_pallas.py,
+      round 5): each 128-column block costs one compare + two selects
+      instead of a jnp.min + jnp.argmin pass, and the full lexicographic
+      (d2, index) cross-lane resolution runs ONCE at flush.
     """
     e = pl.program_id(0)
     i = pl.program_id(1)
     w = pl.program_id(2)
+    nc = td // 128
 
     @pl.when(w == 0)
     def _init():
@@ -121,21 +127,35 @@ def _kernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
 
     qx, qy, qz = qx_ref[...], qy_ref[...], qz_ref[...]
     tq = qx.shape[0]
-    dx = qx - rx_ref[0]                        # (TQ, td)
-    dy = qy - ry_ref[0]
-    dz = qz - rz_ref[0]
-    d2 = dx * dx + dy * dy + dz * dz
-    loc_d = jnp.min(d2, axis=1)[:, None]
-    loc_a = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
-    offset = (starts_ref[e, i] + w) * td
-    take = loc_d < best_d[...]
-    best_d[...] = jnp.where(take, loc_d, best_d[...])
-    best_i[...] = jnp.where(take, loc_a + offset, best_i[...])
+    # window tiles arrive in ascending sorted position, so ties keep the
+    # first (lowest-index) block — XLA-argmin first-index semantics
+    base = (starts_ref[e, i] + w) * nc
+    bd, bb = best_d[...], best_i[...]
+    for c in range(nc):
+        cs = slice(c * 128, (c + 1) * 128)
+        dx = qx - rx_ref[0, 0:1, cs]
+        dy = qy - ry_ref[0, 0:1, cs]
+        dz = qz - rz_ref[0, 0:1, cs]
+        d2c = dx * dx + dy * dy + dz * dz       # (TQ, 128)
+        keep = bd <= d2c
+        bd = jnp.where(keep, bd, d2c)
+        bb = jnp.where(keep, bb, base + c)
+    best_d[...] = bd
+    best_i[...] = bb
 
     @pl.when(w == pl.num_programs(2) - 1)
     def _flush():
-        idx_ref[0, ...] = best_i[...].T
-        d2_ref[0, ...] = best_d[...].T
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+        d = best_d[...]
+        gi = best_i[...] * 128 + lane
+        for shift in (64, 32, 16, 8, 4, 2, 1):
+            od = pltpu.roll(d, shift, axis=1)
+            oi = pltpu.roll(gi, shift, axis=1)
+            take = (d < od) | ((d == od) & (gi <= oi))
+            d = jnp.where(take, d, od)
+            gi = jnp.where(take, gi, oi)
+        idx_ref[0, ...] = gi[:, 0:1].T
+        d2_ref[0, ...] = d[:, 0:1].T
 
 
 @functools.partial(jax.jit,
@@ -181,8 +201,8 @@ def nn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
         out_specs=[pl.BlockSpec((1, 1, tq),
                                 lambda e, i, w, s: (e, _I0, i),
                                 memory_space=pltpu.VMEM)] * 2,
-        scratch_shapes=[pltpu.VMEM((tq, 1), jnp.float32),
-                        pltpu.VMEM((tq, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tq, 128), jnp.float32),
+                        pltpu.VMEM((tq, 128), jnp.int32)],
     )
     idx, d2 = pl.pallas_call(
         functools.partial(_kernel, td=td),
