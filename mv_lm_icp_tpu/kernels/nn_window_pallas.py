@@ -236,16 +236,37 @@ def _kkernel(starts_ref, qx_ref, qy_ref, qz_ref, rx_ref, ry_ref, rz_ref,
         best_i[...] = jnp.zeros_like(best_i[...])
 
     qx, qy, qz = qx_ref[...], qy_ref[...], qz_ref[...]
+    tq = qx.shape[0]
+    nc = td // 128
     dx = qx - rx_ref[0]                        # (TQ, td)
     dy = qy - ry_ref[0]
     dz = qz - rz_ref[0]
     d2 = dx * dx + dy * dy + dz * dz
     offset = (starts_ref[e, i] + w) * td
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
     bd, bi = best_d[...], best_i[...]          # (TQ, k)
     for _ in range(k):
-        loc_d = jnp.min(d2, axis=1)[:, None]               # (TQ, 1)
-        loc_a = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+        # per-128-block fused (min d2, block) merge + one lexicographic
+        # cross-lane resolve per pass — replaces jnp.min + jnp.argmin
+        # (same structure as the 1-NN kernels, round 5; ties resolve to
+        # the first index exactly like XLA argmin)
+        md = jnp.full((tq, 128), jnp.inf, jnp.float32)
+        mb = jnp.zeros((tq, 128), jnp.int32)
+        for c in range(nc):
+            d2c = d2[:, c * 128:(c + 1) * 128]
+            take = md <= d2c
+            md = jnp.where(take, md, d2c)
+            mb = jnp.where(take, mb, c)
+        gi = mb * 128 + lane
+        for shift in (64, 32, 16, 8, 4, 2, 1):
+            od = pltpu.roll(md, shift, axis=1)
+            oi = pltpu.roll(gi, shift, axis=1)
+            take = (md < od) | ((md == od) & (gi <= oi))
+            md = jnp.where(take, md, od)
+            gi = jnp.where(take, gi, oi)
+        loc_d = md[:, 0:1]                                 # (TQ, 1)
+        loc_a = gi[:, 0:1]
         d2 = jnp.where(col == loc_a, jnp.inf, d2)
         # insertion: regs > candidate shift right; the first such reg
         # takes the candidate. The shifted mask lives in f32, not bool:
@@ -278,7 +299,10 @@ def knn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
     """Launch the k-NN window kernel on PRE-SORTED inputs (same contract
     as :func:`nn_window_sorted`, but k results per query, ascending).
 
-    Returns (idx (E, M, k) int32 into the SORTED ref, d2 (E, M, k))."""
+    Returns (idx (E, M, k) int32 into the SORTED ref, d2 (E, M, k)).
+    td=4096 amortizes the per-pass cross-lane resolve best on v5e
+    (measured 100.2 -> 80.5 ms/frame at the 247k-point large-scene
+    shape; td=8192 exceeds VMEM)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     E, M = q_sorted.shape[:2]
@@ -320,7 +344,7 @@ def knn_window_sorted(q_sorted: jnp.ndarray, ref_sorted: jnp.ndarray,
                                     "self_query"))
 def knn_window_batch(query: jnp.ndarray, ref: jnp.ndarray,
                      ref_valid: jnp.ndarray, k: int = 10,
-                     window: int = 4096, tq: int = 512, td: int = 2048,
+                     window: int = 4096, tq: int = 512, td: int = 4096,
                      interpret: bool | None = None,
                      query_valid: jnp.ndarray | None = None,
                      ref_sort: RefSort | None = None,
