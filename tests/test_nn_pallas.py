@@ -60,6 +60,27 @@ class TestPallasNN:
                                 jnp.asarray(valid), tq=64, td=128)
         assert (np.asarray(idx) < 130).all()
 
+    def test_first_index_on_exact_ties(self):
+        """Duplicate ref points produce EXACT d2 ties; the kernel's
+        merge tree + lexicographic cross-lane resolve must keep XLA
+        argmin's first-index winner (the round-5 restructure's core
+        constraint — scan-order ties keep the earlier block, cross-lane
+        ties the smaller global index)."""
+        rng = np.random.default_rng(4)
+        base = rand_cloud(rng, 300)
+        # every ref point appears 3x, scattered across the index space
+        # so ties straddle 128-lane blocks and column tiles
+        perm = rng.permutation(900)
+        r = np.concatenate([base, base, base], axis=0)[perm]
+        q = base[rng.integers(0, 300, size=200)]  # queries ON duplicates
+        valid = np.ones(900, bool)
+        idx_p, d2_p = nn_pallas.nn_1(jnp.asarray(q), jnp.asarray(r),
+                                     jnp.asarray(valid), tq=64, td=256)
+        idx_j, d2_j = nn.nn_1(jnp.asarray(q), jnp.asarray(r),
+                              jnp.asarray(valid), chunk=128)
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
+        np.testing.assert_allclose(np.asarray(d2_p), 0.0, atol=1e-12)
+
     def test_matches_on_odd_sizes(self):
         rng = np.random.default_rng(3)
         q = rand_cloud(rng, 51)
