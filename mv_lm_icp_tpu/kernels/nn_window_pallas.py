@@ -15,8 +15,10 @@ sorted position:
   pipeline; a scalar-prefetch array ``starts[e, qtile]`` (in td units)
   tells the BlockSpec index_map WHERE each tile's window begins — the
   TPU-native replacement for data-dependent tree traversal.
-- running (min, argmin) lives in VMEM scratch, persisting across the
-  window_tiles grid axis; the output tile is written on the last step.
+- the running per-lane-class (min d2, block index) carry lives in VMEM
+  scratch, persisting across the window_tiles grid axis; the output tile
+  is written on the last step after one lexicographic cross-lane
+  resolution (round-5 fused-merge structure, see kernels/nn_pallas.py).
 - work per query is O(W) instead of O(N): at the large-scene shapes
   (8 frames x 61k-245k pts, W = 4-8k) that is a 10-60x FLOP cut with
   the same pure-VPU inner loop as the brute kernel.
